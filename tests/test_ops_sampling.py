@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from transplat_tpu.ops.deform import deform_sample_scores, deform_sample_vectors
+from transplat_tpu.ops.interpolate import grid_sample, resize_bilinear, upsample_nearest
+
+
+def torch_grid_sample(values_hwc, loc01, align_corners):
+    """values (H, W, C), loc01 (N, 2) -> (N, C) via torch."""
+    v = torch.from_numpy(np.asarray(values_hwc)).permute(2, 0, 1)[None]
+    grid = torch.from_numpy(np.asarray(loc01)) * 2.0 - 1.0
+    grid = grid[None, :, None, :]  # (1, N, 1, 2)
+    out = F.grid_sample(
+        v, grid, mode="bilinear", padding_mode="zeros", align_corners=align_corners
+    )
+    return out[0, :, :, 0].permute(1, 0).numpy()
+
+
+class TestGridSample:
+    def test_matches_torch_align_false(self):
+        key = jax.random.PRNGKey(0)
+        values = jax.random.normal(key, (9, 13, 5))
+        loc = jax.random.uniform(
+            jax.random.PRNGKey(1), (200, 2), minval=-0.2, maxval=1.2
+        )
+        ours = grid_sample(values, loc, align_corners=False)
+        ref = torch_grid_sample(values, loc, align_corners=False)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_matches_torch_align_true(self):
+        values = jax.random.normal(jax.random.PRNGKey(2), (7, 8, 3))
+        loc = jax.random.uniform(jax.random.PRNGKey(3), (100, 2))
+        ours = grid_sample(values, loc, align_corners=True)
+        ref = torch_grid_sample(values, loc, align_corners=True)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+class TestResize:
+    def test_matches_torch_align_true(self):
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 10, 14, 3))
+        ours = resize_bilinear(x, (25, 37), align_corners=True)
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        ref = F.interpolate(xt, (25, 37), mode="bilinear", align_corners=True)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_matches_torch_align_false(self):
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 2))
+        ours = resize_bilinear(x, (5, 11), align_corners=False)
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        ref = F.interpolate(xt, (5, 11), mode="bilinear", align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_nearest(self):
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 4, 4, 3))
+        ours = upsample_nearest(x, 2)
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        ref = F.interpolate(xt, scale_factor=2, mode="nearest")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+class TestDeformSampling:
+    def test_vectors_match_torch(self):
+        h, w, c, q, p = 8, 8, 16, 32, 4
+        value = jax.random.normal(jax.random.PRNGKey(7), (h * w, c))
+        loc = jax.random.uniform(
+            jax.random.PRNGKey(8), (q, p, 2), minval=-0.1, maxval=1.1
+        )
+        weights = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(9), (q, p)))
+        ours = deform_sample_vectors(value, (h, w), loc, weights)
+
+        vt = torch.from_numpy(np.asarray(value)).reshape(h, w, c)
+        sampled = torch_grid_sample(vt.numpy(), np.asarray(loc).reshape(-1, 2), False)
+        sampled = sampled.reshape(q, p, c)
+        ref = (sampled * np.asarray(weights)[..., None]).sum(1)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_scores_equal_hoisted_dot(self):
+        """Sampling scalars from K V^T == sampling vectors then dotting with K."""
+        h, w, c, q, d, p = 8, 8, 16, 10, 6, 2
+        value = jax.random.normal(jax.random.PRNGKey(10), (h * w, c))
+        keys = jax.random.normal(jax.random.PRNGKey(11), (q, c))
+        loc = jax.random.uniform(jax.random.PRNGKey(12), (q, d, p, 2))
+        weights = jax.nn.softmax(
+            jax.random.normal(jax.random.PRNGKey(13), (q, d, p)), axis=-1
+        )
+        scores = keys @ value.T  # (Q, HW)
+        ours = deform_sample_scores(scores, (h, w), loc, weights)
+
+        # Reference path: gather vectors, weight, then dot with key.
+        sampled = jax.vmap(
+            lambda l, wt: deform_sample_vectors(value, (h, w), l, wt),
+            in_axes=(1, 1),
+            out_axes=1,
+        )(loc, weights)  # (Q, D, C)
+        ref = jnp.einsum("qdc,qc->qd", sampled, keys)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)

@@ -1,0 +1,93 @@
+"""Deformable-attention sampling primitives (TPU-native).
+
+Replaces mmcv's ms_deform_attn CUDA kernels
+(/root/reference/src/model/utils/multi_scale_deformable_attn_function.py and
+attention.py UV*Attention) with two XLA-friendly ops:
+
+  * deform_sample_vectors — classic deformable attention: bilinearly gather
+    C-dim value vectors at learned locations, weight and sum. Used by the
+    UV self-attention (Q=4096, P=4, C=128).
+
+  * deform_sample_scores — the cost-volume attentions (UVCoarse/UVCross) only
+    ever *reduce* the sampled vector against the query's key over channels.
+    Since both bilinear sampling and the key-dot are linear maps, we hoist the
+    dot: compute the full score matrix S = K V^T on the MXU once, then gather
+    scalars S[q, loc] instead of 128-dim vectors. This cuts gather traffic by
+    C(=128)x — the reference fork measured this geometry-guided sampling at
+    22-25% of encoder time and >65% of DRAM traffic (SURVEY.md §6); on TPU it
+    becomes one 4096x128x4096 matmul plus a light scalar gather.
+
+Sampling conventions match mmcv: locations in [0, 1], grid_sample
+align_corners=False, zero padding.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bilinear_weights(loc01: jnp.ndarray, h: int, w: int):
+    """loc01 (..., 2) -> corner indices (4, ...) flat and weights (4, ...)."""
+    px = loc01[..., 0] * w - 0.5
+    py = loc01[..., 1] * h - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(iy, ix, weight):
+        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+        return idx, jnp.where(inb, weight, 0.0)
+
+    i00, w00 = corner(y0i, x0i, (1 - wx) * (1 - wy))
+    i01, w01 = corner(y0i, x0i + 1, wx * (1 - wy))
+    i10, w10 = corner(y0i + 1, x0i, (1 - wx) * wy)
+    i11, w11 = corner(y0i + 1, x0i + 1, wx * wy)
+    idx = jnp.stack([i00, i01, i10, i11])
+    wgt = jnp.stack([w00, w01, w10, w11])
+    return idx, wgt
+
+
+def deform_sample_vectors(
+    value: jnp.ndarray,
+    spatial_shape: tuple[int, int],
+    loc01: jnp.ndarray,
+    attn_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Weighted bilinear gather of value vectors.
+
+    value:        (H*W, C)
+    loc01:        (Q, P, 2) sample locations in [0, 1]
+    attn_weights: (Q, P) softmaxed weights
+    Returns (Q, C).
+    """
+    h, w = spatial_shape
+    idx, wgt = _bilinear_weights(loc01, h, w)  # (4, Q, P), (4, Q, P)
+    sampled = value[idx]  # (4, Q, P, C)
+    weighted = sampled * (wgt * attn_weights[None])[..., None]
+    return weighted.sum(axis=(0, 2))
+
+
+def deform_sample_scores(
+    scores: jnp.ndarray,
+    spatial_shape: tuple[int, int],
+    loc01: jnp.ndarray,
+    attn_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-query scalar gather from a per-query score map.
+
+    scores:       (Q, H*W) — typically K @ V^T
+    loc01:        (Q, D, P, 2)
+    attn_weights: (Q, D, P)
+    Returns (Q, D): sum_p w_p * bilinear(scores[q], loc[q, d, p]).
+    """
+    q, hw = scores.shape
+    h, w = spatial_shape
+    idx, wgt = _bilinear_weights(loc01, h, w)  # (4, Q, D, P)
+    q_idx = jnp.arange(q, dtype=jnp.int32)[None, :, None, None]
+    flat_idx = q_idx * hw + idx  # (4, Q, D, P)
+    sampled = scores.reshape(-1)[flat_idx]  # (4, Q, D, P)
+    return jnp.sum(sampled * wgt * attn_weights[None], axis=(0, 3))
