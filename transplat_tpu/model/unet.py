@@ -1,0 +1,137 @@
+"""LDM-style 2D U-Net with cross-view self-attention (no timestep embedding).
+
+Re-implements the reference's trimmed Stable-Diffusion U-Net
+(/root/reference/src/model/encoder/matching/ldm_unet/unet.py, postnorm=True
+configuration) in NHWC Flax. The cross-view attention folds the view axis into
+the token axis so attention spans all views jointly (unet.py:529-546).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import conv, group_norm, torch_default_init
+
+
+class ResBlock(nn.Module):
+    """Postnorm residual block (ldm_unet/unet.py:172-305)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = conv(self.out_channels, 3, name="in_conv")(x)
+        h = group_norm(self.out_channels, name="in_norm")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, name="out_conv")(h)
+        h = group_norm(self.out_channels, zero_init=True, name="out_norm")(h)
+        h = nn.silu(h)
+        if x.shape[-1] != self.out_channels:
+            x = conv(self.out_channels, 1, name="skip")(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention over spatial tokens, optionally across views.
+
+    Postnorm variant: qkv -> attention -> proj -> zero-GN, residual.
+    """
+
+    channels: int
+    num_head_channels: int = 32
+    num_frames: int = 2
+    cross_view: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        heads = max(1, c // self.num_head_channels)
+        t = h * w
+        tokens = x.reshape(n, t, c)
+
+        qkv = nn.Dense(3 * c, kernel_init=torch_default_init, name="qkv")(tokens)
+
+        if self.cross_view:
+            v = self.num_frames
+            b = n // v
+            qkv = qkv.reshape(b, v, t, 3 * c).reshape(b, v * t, 3 * c)
+
+        bs, length, _ = qkv.shape
+        qkv = qkv.reshape(bs, length, heads, 3, c // heads)
+        q, k, val = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        scale = 1.0 / ((c // heads) ** 0.25)
+        weight = jnp.einsum("blhc,bshc->bhls", q * scale, k * scale)
+        weight = nn.softmax(weight.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhls,bshc->blhc", weight, val).reshape(bs, length, c)
+
+        if self.cross_view:
+            out = out.reshape(n // self.num_frames, self.num_frames, t, c).reshape(n, t, c)
+
+        out = nn.Dense(c, kernel_init=torch_default_init, name="proj_out")(out)
+        out = group_norm(c, zero_init=True, name="norm")(out)
+        return x + out.reshape(n, h, w, c)
+
+
+class UNetModel(nn.Module):
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int = 1
+    attention_resolutions: Sequence[int] = ()
+    channel_mult: Sequence[int] = (1, 1, 1)
+    num_head_channels: int = 32
+    num_frames: int = 2
+    cross_view: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, C_in) with N = b * num_frames."""
+        mc = self.model_channels
+        attn_res = set(self.attention_resolutions)
+
+        def maybe_attn(h, ds, prefix):
+            if ds in attn_res:
+                h = AttentionBlock(
+                    h.shape[-1],
+                    self.num_head_channels,
+                    self.num_frames,
+                    self.cross_view,
+                    name=f"{prefix}_attn",
+                )(h)
+            return h
+
+        hs = []
+        h = conv(mc, 3, name="in_conv")(x)
+        hs.append(h)
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                h = ResBlock(mult * mc, name=f"down_{level}_{i}")(h)
+                h = maybe_attn(h, ds, f"down_{level}_{i}")
+                hs.append(h)
+            if level != len(self.channel_mult) - 1:
+                h = conv(h.shape[-1], 3, stride=2, name=f"downsample_{level}")(h)
+                hs.append(h)
+                ds *= 2
+
+        h = ResBlock(h.shape[-1], name="middle_0")(h)
+        h = ResBlock(h.shape[-1], name="middle_1")(h)
+
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(mult * mc, name=f"up_{level}_{i}")(h)
+                h = maybe_attn(h, ds, f"up_{level}_{i}")
+                if level and i == self.num_res_blocks:
+                    n, hh, ww, c = h.shape
+                    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                    h = conv(c, 3, name=f"upsample_{level}")(h)
+                    ds //= 2
+
+        # Final out (postnorm): conv -> GN -> SiLU.
+        h = conv(self.out_channels, 3, name="out_conv")(h)
+        h = group_norm(self.out_channels, name="out_norm")(h)
+        return nn.silu(h)
