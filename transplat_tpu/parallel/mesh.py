@@ -1,0 +1,42 @@
+"""Device mesh construction and sharding rules.
+
+Replaces the reference's Lightning DDP (SURVEY.md §2.11) with jax.sharding:
+  * dp — data parallel over the batch axis; gradient all-reduce is inserted by
+    GSPMD (params replicated, batch sharded) and overlapped with the backward
+    pass by XLA's latency-hiding scheduler
+  * sp — splat/sequence parallel: shards the Gaussian / target-view axes in
+    the decoder and the pair axis in the cost-volume matcher
+Collectives ride ICI within a slice; DCN only sees the dp axis on multi-host.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int | None = None, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, sp) mesh. dp defaults to n_devices // sp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // sp
+    assert dp * sp == n, f"dp({dp}) * sp({sp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a pytree of host arrays with the batch axis over dp."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
