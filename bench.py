@@ -1,0 +1,92 @@
+"""Benchmark: tile rasterizer forward+backward throughput (Mpix/s/chip).
+
+Flagship workload (SURVEY.md §6): G = 131072 Gaussians (2 views x 256^2,
+1/pixel), 256x256 render, batch of 4 target views — forward + full backward
+(grads to means/covariances/SH/opacities), jitted on one chip.
+
+Prints ONE JSON line. vs_baseline is measured against a 60 Mpix/s fwd+bwd
+estimate for the reference's CUDA diff-gaussian-rasterization on RTX 3090 at
+this workload (the reference repo publishes no rasterizer numbers —
+BASELINE.md; re-measure when reference hardware is available).
+"""
+
+import json
+import os
+import time
+
+import jax
+
+# Persistent compile cache: TPU sort kernels are slow to compile the first
+# time; cached runs start in seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+
+from transplat_tpu.ops.rasterizer import render
+from transplat_tpu.ops.rasterizer.api import RasterizeConfig
+
+BASELINE_MPIX_S = 60.0
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    b, g = 2, 131072
+    h = w = 256
+
+    k = jax.random.split(key, 6)
+    means = jnp.concatenate(
+        [
+            jax.random.uniform(k[0], (b, g, 2), minval=-3.0, maxval=3.0),
+            jax.random.uniform(k[1], (b, g, 1), minval=1.0, maxval=12.0),
+        ],
+        axis=-1,
+    )
+    scales = jax.random.uniform(k[2], (b, g, 3), minval=0.005, maxval=0.03)
+    cov = jnp.einsum("bgi,ij->bgij", scales**2, jnp.eye(3))
+    sh = jax.random.normal(k[3], (b, g, 3, 25)) * 0.3
+    opac = jax.random.uniform(k[4], (b, g), minval=0.3, maxval=0.95)
+
+    extr = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    intr = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]), (b, 3, 3)
+    )
+    near = jnp.ones((b,))
+    far = jnp.full((b,), 100.0)
+    bg = jnp.zeros((b, 3))
+
+    cfg = RasterizeConfig(capacity=1024, chunk=256, max_tiles_per_gaussian=16)
+
+    def loss_fn(means, cov, sh, opac):
+        out = render(extr, intr, near, far, (h, w), bg, means, cov, sh, opac, cfg=cfg)
+        return jnp.sum(out.color**2)
+
+    fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
+
+    # Warmup / compile.
+    grads = fwd_bwd(means, cov, sh, opac)
+    jax.block_until_ready(grads)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        grads = fwd_bwd(means, cov, sh, opac)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+
+    mpix_s = b * h * w * iters / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "rasterizer_fwd_bwd_throughput",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s/chip",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
