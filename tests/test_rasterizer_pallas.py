@@ -1,0 +1,142 @@
+"""Pallas composite kernel + fast binning: parity vs the oracle renderer.
+
+Runs the kernels in interpreter mode on CPU; the same code path compiles with
+Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transplat_tpu.ops.rasterizer import render
+from transplat_tpu.ops.rasterizer.api import RasterizeConfig
+
+REF_CFG = RasterizeConfig(mode="reference")
+TILED_FAST = RasterizeConfig(mode="tiled", binning="fast", capacity=512, chunk=64)
+PALLAS_CFG = RasterizeConfig(
+    mode="pallas", binning="fast", capacity=512, chunk=128, interpret=True
+)
+
+
+def make_camera(b=1):
+    extr = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    intr = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]), (b, 3, 3)
+    )
+    near = jnp.full((b,), 0.5)
+    far = jnp.full((b,), 100.0)
+    bg = jnp.zeros((b, 3))
+    return extr, intr, near, far, bg
+
+
+def random_scene(key, b=1, g=256, sh_degree=2):
+    keys = jax.random.split(key, 5)
+    means = jnp.concatenate(
+        [
+            jax.random.uniform(keys[0], (b, g, 2), minval=-1.5, maxval=1.5),
+            jax.random.uniform(keys[1], (b, g, 1), minval=2.0, maxval=8.0),
+        ],
+        axis=-1,
+    )
+    scales = jax.random.uniform(keys[2], (b, g, 3), minval=0.02, maxval=0.12)
+    cov = jnp.einsum("bgi,ij->bgij", scales**2, jnp.eye(3))
+    sh = jax.random.normal(keys[3], (b, g, 3, (sh_degree + 1) ** 2)) * 0.3
+    opac = jax.random.uniform(keys[4], (b, g), minval=0.3, maxval=0.95)
+    return means, cov, sh, opac
+
+
+class TestFastBinning:
+    def test_fast_matches_sort_binning(self):
+        extr, intr, near, far, bg = make_camera()
+        scene = random_scene(jax.random.PRNGKey(0), g=300)
+        sort_cfg = RasterizeConfig(mode="tiled", binning="sort", capacity=512, chunk=64)
+        a = render(extr, intr, near, far, (64, 64), bg, *scene, cfg=sort_cfg)
+        b_ = render(extr, intr, near, far, (64, 64), bg, *scene, cfg=TILED_FAST)
+        np.testing.assert_allclose(
+            np.asarray(b_.color), np.asarray(a.color), atol=1e-5
+        )
+
+    def test_fast_matches_reference(self):
+        extr, intr, near, far, bg = make_camera()
+        scene = random_scene(jax.random.PRNGKey(1), g=200)
+        a = render(extr, intr, near, far, (32, 64), bg, *scene, cfg=REF_CFG)
+        b_ = render(extr, intr, near, far, (32, 64), bg, *scene, cfg=TILED_FAST)
+        np.testing.assert_allclose(
+            np.asarray(b_.color), np.asarray(a.color), atol=2e-5
+        )
+
+
+class TestPallasComposite:
+    def test_forward_matches_reference(self):
+        extr, intr, near, far, bg = make_camera(b=2)
+        scene = random_scene(jax.random.PRNGKey(2), b=2, g=300)
+        ref = render(extr, intr, near, far, (64, 64), bg, *scene, cfg=REF_CFG)
+        pal = render(extr, intr, near, far, (64, 64), bg, *scene, cfg=PALLAS_CFG)
+        np.testing.assert_allclose(
+            np.asarray(pal.color), np.asarray(ref.color), atol=5e-5
+        )
+
+    def test_forward_with_background(self):
+        extr, intr, near, far, _ = make_camera()
+        bg = jnp.array([[0.2, 0.4, 0.6]])
+        scene = random_scene(jax.random.PRNGKey(3), g=64)
+        ref = render(extr, intr, near, far, (32, 32), bg, *scene, cfg=REF_CFG)
+        pal = render(extr, intr, near, far, (32, 32), bg, *scene, cfg=PALLAS_CFG)
+        np.testing.assert_allclose(
+            np.asarray(pal.color), np.asarray(ref.color), atol=5e-5
+        )
+
+    def test_gradients_match_reference(self):
+        extr, intr, near, far, bg = make_camera()
+        means, cov, sh, opac = random_scene(jax.random.PRNGKey(4), g=100)
+
+        def loss(cfg):
+            def fn(m, c, s, o):
+                out = render(extr, intr, near, far, (32, 32), bg, m, c, s, o, cfg=cfg)
+                w = jnp.sin(jnp.arange(out.color.size).reshape(out.color.shape) * 0.7)
+                return jnp.sum(out.color * w)
+
+            return fn
+
+        g_ref = jax.grad(loss(REF_CFG), argnums=(0, 1, 2, 3))(means, cov, sh, opac)
+        g_pal = jax.grad(loss(PALLAS_CFG), argnums=(0, 1, 2, 3))(means, cov, sh, opac)
+        for a, b_, name in zip(g_ref, g_pal, ["means", "cov", "sh", "opac"]):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=2e-3, atol=2e-4, err_msg=name
+            )
+
+    def test_gradient_with_background_term(self):
+        """The backward's T_final/bg coupling: gradient of a bg-dominated pixel."""
+        extr, intr, near, far, _ = make_camera()
+        bg = jnp.array([[0.5, 0.5, 0.5]])
+        means, cov, sh, opac = random_scene(jax.random.PRNGKey(5), g=32)
+
+        def loss(cfg):
+            def fn(o):
+                out = render(
+                    extr, intr, near, far, (32, 32), bg, means, cov, sh, o, cfg=cfg
+                )
+                return jnp.sum(out.color**2)
+
+            return fn
+
+        g_ref = jax.grad(loss(REF_CFG))(opac)
+        g_pal = jax.grad(loss(PALLAS_CFG))(opac)
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_ref), rtol=2e-3, atol=2e-4
+        )
+
+    def test_depth_feature_rendering(self):
+        from transplat_tpu.ops.rasterizer import render_depth
+
+        extr, intr, near, far, _ = make_camera()
+        n = 16
+        xs = jnp.linspace(-2.0, 2.0, n)
+        xx, yy = jnp.meshgrid(xs, xs)
+        means = jnp.stack([xx.ravel(), yy.ravel(), jnp.full(n * n, 5.0)], -1)[None]
+        cov = jnp.broadcast_to(jnp.eye(3) * 0.05, (1, n * n, 3, 3))
+        opac = jnp.full((1, n * n), 0.999)
+        depth = render_depth(
+            extr, intr, near, far, (32, 32), means, cov, opac, cfg=PALLAS_CFG
+        )
+        np.testing.assert_allclose(float(depth[0, 16, 16]), 5.0, rtol=0.05)

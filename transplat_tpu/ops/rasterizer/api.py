@@ -17,17 +17,29 @@ import jax.numpy as jnp
 from ...geometry.projection import get_fov
 from .projection import project_gaussians
 from .reference import render_reference_view
-from .tiles import bin_gaussians, composite_tiles
+from .tiles import (
+    bin_gaussians,
+    bin_gaussians_fast,
+    bin_gaussians_scatter,
+    composite_tiles,
+)
 
 
 @dataclass(frozen=True)
 class RasterizeConfig:
     tile_size: int = 16
-    max_tiles_per_gaussian: int = 32
+    max_tiles_per_gaussian: int = 32  # only used by the sort-based binning
     capacity: int = 1024
     chunk: int = 128
     remat: bool = True
-    mode: str = "tiled"  # "tiled" | "reference"
+    mode: str = "auto"  # "auto" | "pallas" | "tiled" | "reference"
+    binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
+    interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
+
+    def resolved_mode(self) -> str:
+        if self.mode != "auto":
+            return self.mode
+        return "pallas" if jax.default_backend() == "tpu" else "tiled"
 
 
 class RenderOutput(NamedTuple):
@@ -36,17 +48,14 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray  # (B,) dropped pairs (capacity diagnostics)
 
 
-def _render_one_view(
+def _project_and_bin(
     extrinsics,
     intrinsics,
     near,
-    far,
-    background,
     means,
     covariances,
     sh,
     opacities,
-    feature,
     image_shape: tuple[int, int],
     cfg: RasterizeConfig,
     scale_invariant: bool,
@@ -64,10 +73,18 @@ def _render_one_view(
     proj = project_gaussians(
         means, covariances, sh, opacities, extrinsics, tan_fovx, tan_fovy, image_shape
     )
-
-    if cfg.mode == "reference":
-        img = render_reference_view(proj, image_shape, background, feature)
-        overflow = jnp.zeros((), jnp.int32)
+    if cfg.binning == "scatter":
+        tiles = bin_gaussians_scatter(
+            proj,
+            image_shape,
+            tile_size=cfg.tile_size,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            capacity=cfg.capacity,
+        )
+    elif cfg.binning == "fast":
+        tiles = bin_gaussians_fast(
+            proj, image_shape, tile_size=cfg.tile_size, capacity=cfg.capacity
+        )
     else:
         tiles = bin_gaussians(
             proj,
@@ -76,19 +93,56 @@ def _render_one_view(
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             capacity=cfg.capacity,
         )
-        img = composite_tiles(
-            proj,
-            tiles,
-            image_shape,
-            background,
-            feature,
-            tile_size=cfg.tile_size,
-            chunk=cfg.chunk,
-            remat=cfg.remat,
+    return proj, tiles
+
+
+def _render_one_view(
+    extrinsics,
+    intrinsics,
+    near,
+    far,
+    background,
+    means,
+    covariances,
+    sh,
+    opacities,
+    feature,
+    image_shape: tuple[int, int],
+    cfg: RasterizeConfig,
+    scale_invariant: bool,
+):
+    if cfg.mode == "reference":
+        if scale_invariant:
+            scale = 1.0 / near
+            extrinsics = extrinsics.at[:3, 3].multiply(scale)
+            covariances = covariances * scale**2
+            means = means * scale
+        fov = get_fov(intrinsics[None])[0]
+        proj = project_gaussians(
+            means, covariances, sh, opacities, extrinsics,
+            jnp.tan(0.5 * fov[0]), jnp.tan(0.5 * fov[1]), image_shape,
         )
-        overflow = tiles.overflow
+        img = render_reference_view(proj, image_shape, background, feature)
+        overflow = jnp.zeros((), jnp.int32)
+        radii = jnp.where(proj.valid, proj.radius, 0.0)
+        return img, radii, overflow
+
+    proj, tiles = _project_and_bin(
+        extrinsics, intrinsics, near, means, covariances, sh, opacities,
+        image_shape, cfg, scale_invariant,
+    )
+    img = composite_tiles(
+        proj,
+        tiles,
+        image_shape,
+        background,
+        feature,
+        tile_size=cfg.tile_size,
+        chunk=cfg.chunk,
+        remat=cfg.remat,
+    )
     radii = jnp.where(proj.valid, proj.radius, 0.0)
-    return img, radii, overflow
+    return img, radii, tiles.overflow
 
 
 def render(
@@ -104,17 +158,82 @@ def render(
     opacities: jnp.ndarray,  # (B, G)
     scale_invariant: bool = True,
     cfg: RasterizeConfig = RasterizeConfig(),
+    feature: jnp.ndarray | None = None,  # (B, G, C<=8) color override
 ) -> RenderOutput:
-    """Render batched views of batched Gaussian sets. Returns (B, h, w, 3)."""
+    """Render batched views of batched Gaussian sets. Returns (B, h, w, C)."""
+    mode = cfg.resolved_mode()
+    if mode == "pallas":
+        from .pallas_binning import bin_pallas, build_sorted_features
+        from .pallas_composite import composite_pallas
+
+        def prep(e, i, n, m, c, s, o, ft):
+            if scale_invariant:
+                scale = 1.0 / n
+                e = e.at[:3, 3].multiply(scale)
+                c = c * scale**2
+                m = m * scale
+            fov = get_fov(i[None])[0]
+            proj = project_gaussians(
+                m, c, s, o, e, jnp.tan(0.5 * fov[0]), jnp.tan(0.5 * fov[1]),
+                image_shape,
+            )
+            feat = build_sorted_features(proj, ft)
+            radii = jnp.where(proj.valid, proj.radius, 0.0)
+            return feat, radii
+
+        in_axes = (0, 0, 0, 0, 0, 0, 0, 0 if feature is not None else None)
+        feat, radii = jax.vmap(prep, in_axes=in_axes)(
+            extrinsics, intrinsics, near, means, covariances, sh, opacities, feature
+        )
+
+        ts = cfg.tile_size
+        ntx = (image_shape[1] + ts - 1) // ts
+        nty = (image_shape[0] + ts - 1) // ts
+        num_tiles = ntx * nty
+        b = feat.shape[0]
+        cg = cfg.chunk
+
+        # Pad the Gaussian stream to a whole number of kernel chunks; padding
+        # rows have radius 0 so they never cover a tile.
+        g_total = feat.shape[1]
+        pad = (-g_total) % cg
+        if pad:
+            feat = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
+
+        gdat = bin_pallas(
+            feat, ts, ntx, num_tiles, cfg.capacity, cg, cfg.interpret
+        )
+        from .pallas_binning import tile_counts
+
+        counts = tile_counts(jax.lax.stop_gradient(feat), ts, ntx, nty)
+        overflow = jnp.sum(
+            jnp.maximum(counts - cfg.capacity, 0), axis=1
+        ).astype(jnp.int32)
+
+        acc, tfin = composite_pallas(
+            gdat[:, :, : cfg.capacity], ts, ntx, num_tiles, cfg.chunk, cfg.interpret
+        )
+        p = ts * ts
+        c_out = 3 if feature is None else feature.shape[-1]
+        acc = acc.reshape(b, num_tiles, p, 8)[..., :c_out]
+        tfin = tfin.reshape(b, num_tiles, p)
+        out = acc + tfin[..., None] * background[:, None, None, :]
+        out = out.reshape(b, nty, ntx, ts, ts, c_out)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, nty * ts, ntx * ts, c_out)
+        img = out[:, : image_shape[0], : image_shape[1]]
+        return RenderOutput(color=img, radii=radii, overflow=overflow)
+
     fn = partial(
         _render_one_view,
         image_shape=image_shape,
         cfg=cfg,
         scale_invariant=scale_invariant,
     )
-    img, radii, overflow = jax.vmap(
-        lambda e, i, n, f, bg, m, c, s, o: fn(e, i, n, f, bg, m, c, s, o, None)
-    )(extrinsics, intrinsics, near, far, background, means, covariances, sh, opacities)
+    in_axes = (0,) * 9 + (0 if feature is not None else None,)
+    img, radii, overflow = jax.vmap(fn, in_axes=in_axes)(
+        extrinsics, intrinsics, near, far, background, means, covariances, sh,
+        opacities, feature,
+    )
     return RenderOutput(color=img, radii=radii, overflow=overflow)
 
 
@@ -158,24 +277,19 @@ def render_depth(
     dummy_sh = jnp.zeros(means.shape[:2] + (3, 1), means.dtype)
     bg = jnp.zeros((means.shape[0], 1), means.dtype)
 
-    fn = partial(
-        _render_one_view,
-        image_shape=image_shape,
-        cfg=cfg,
-        scale_invariant=scale_invariant,
-    )
-    img, _, _ = jax.vmap(
-        lambda e, i, n, f, bg_, m, c, s, o, ft: fn(e, i, n, f, bg_, m, c, s, o, ft)
-    )(
+    out = render(
         extrinsics,
         intrinsics,
         near,
         far,
+        image_shape,
         bg,
         means,
         covariances,
         dummy_sh,
         opacities,
-        feat[..., None],
+        scale_invariant=scale_invariant,
+        cfg=cfg,
+        feature=feat[..., None],
     )
-    return img[..., 0]
+    return out.color[..., 0]

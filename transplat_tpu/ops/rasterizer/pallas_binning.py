@@ -1,0 +1,273 @@
+"""Pallas tile-binning kernel: depth-ordered worklist compaction via one-hot
+MXU matmuls.
+
+XLA's pair-sort binning costs ~130ms at G=131k (bitonic sort), and
+counting-sort alternatives bottleneck on 2M-element gathers/scatters (~50ms —
+TPU random access is slow). This kernel avoids all per-pair memory traffic:
+
+  * per tile (grid), stream the depth-sorted Gaussian features [G, F] from
+    VMEM in chunks of CG lanes
+  * coverage mask from the screen rect vs this tile
+  * in-chunk compaction offsets via a triangular-matmul cumsum
+  * scatter-free write: a one-hot matrix [CG, CG] built from the offsets
+    turns compaction into  gdat[:, base:base+CG] += sl^T @ onehot  — an MXU
+    matmul into a dynamically-based window of the worklist
+
+The backward pass re-runs the same stream, transposing the one-hot matmul to
+accumulate worklist cotangents back onto per-Gaussian features — again with
+zero scatters. Feature rows match pallas_composite.gdat (mean, conic, radius,
+opacity, rgb).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_composite import F
+
+
+def _coverage(sl, tx, ty, tile_size: int):
+    """sl: (CG, F) chunk; tx/ty: scalar tile coords. Returns (CG, 1) mask.
+
+    Covers iff the tile's pixel range intersects [m - r, m + r] in both axes
+    (exact cover of the circular alpha cutoff; tiles outside the grid are
+    never enumerated).
+    """
+    mx = sl[:, 0:1]
+    my = sl[:, 1:2]
+    r = sl[:, 5:6]
+    ts = float(tile_size)
+    x0 = tx * ts
+    y0 = ty * ts
+    return (
+        (mx + r >= x0)
+        & (mx - r < x0 + ts)
+        & (my + r >= y0)
+        & (my - r < y0 + ts)
+        & (r > 0.0)
+    )
+
+
+def _chunk_offsets(mask, cg: int):
+    """mask: (CG, 1) -> (excl (CG, 1) float, n scalar float)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 1)
+    tri_strict = (cols < rows).astype(jnp.float32)  # excl[i] = sum_{j<i} m[j]
+    m = mask.astype(jnp.float32)
+    excl = jax.lax.dot_general(
+        tri_strict, m, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n = jnp.sum(m)
+    return excl, n
+
+
+def _onehot(mask, excl, cg: int):
+    """One-hot [CG_src, CG_dst]: row i hits column excl[i] when covered."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 1)
+    rel = excl.astype(jnp.int32)  # (CG, 1)
+    return ((cols == rel) & mask).astype(jnp.float32)
+
+
+def _bin_fwd_kernel(
+    feat_ref, gdat_ref,
+    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int,
+):
+    g = feat_ref.shape[1]
+    num_chunks = g // cg
+    tile = pl.program_id(0) % num_tiles
+    tx = (tile % ntx).astype(jnp.float32)
+    ty = (tile // ntx).astype(jnp.float32)
+
+    gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
+
+    def body(ci, base):
+        sl = feat_ref[0, pl.ds(ci * cg, cg), :]  # (CG, F)
+        mask = _coverage(sl, tx, ty, tile_size)
+        excl, n = _chunk_offsets(mask, cg)
+
+        @pl.when(n > 0.0)
+        def _():
+            onehot = _onehot(mask, excl, cg)
+            # (F, CG_dst) contribution: contract source rows.
+            contrib = jax.lax.dot_general(
+                sl, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            b = jnp.minimum(base, capacity).astype(jnp.int32)
+            cur = gdat_ref[0, :, pl.ds(b, cg)]
+            gdat_ref[0, :, pl.ds(b, cg)] = cur + contrib
+
+        return base + n.astype(jnp.int32)
+
+    jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((), jnp.int32))
+
+
+def _bin_bwd_kernel(
+    feat_ref, dgdat_ref, dfeat_ref,
+    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int,
+):
+    g = feat_ref.shape[1]
+    num_chunks = g // cg
+    i = pl.program_id(0)
+    tile = i % num_tiles
+    tx = (tile % ntx).astype(jnp.float32)
+    ty = (tile // ntx).astype(jnp.float32)
+
+    # dfeat accumulates across the (sequential) grid; zero it when we first
+    # touch each batch element's block.
+    @pl.when(tile == 0)
+    def _():
+        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
+
+    def body(ci, base):
+        sl = feat_ref[0, pl.ds(ci * cg, cg), :]
+        mask = _coverage(sl, tx, ty, tile_size)
+        excl, n = _chunk_offsets(mask, cg)
+
+        @pl.when(n > 0.0)
+        def _():
+            onehot = _onehot(mask, excl, cg)
+            b = jnp.minimum(base, capacity).astype(jnp.int32)
+            window = dgdat_ref[0, :, pl.ds(b, cg)]  # (F, CG_dst)
+            # (CG_src, F): route cotangents back through the one-hot.
+            back = jax.lax.dot_general(
+                onehot, window, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cur = dfeat_ref[0, pl.ds(ci * cg, cg), :]
+            dfeat_ref[0, pl.ds(ci * cg, cg), :] = cur + back
+
+        return base + n.astype(jnp.int32)
+
+    jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((), jnp.int32))
+
+
+def _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+    bt_b, g, f = feat.shape  # (B, G, F)
+    b = bt_b
+    kernel = functools.partial(
+        _bin_fwd_kernel,
+        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles,
+        capacity=capacity, cg=cg,
+    )
+    gdat = pl.pallas_call(
+        kernel,
+        grid=(b * num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, g, f), lambda i: (i // num_tiles, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, capacity + cg), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b * num_tiles, f, capacity + cg), jnp.float32
+        ),
+        interpret=interpret,
+    )(feat)
+    return gdat
+
+
+def _bwd_call(feat, dgdat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+    b, g, f = feat.shape
+    kernel = functools.partial(
+        _bin_bwd_kernel,
+        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles,
+        capacity=capacity, cg=cg,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b * num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, g, f), lambda i: (i // num_tiles, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, capacity + cg), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, f), lambda i: (i // num_tiles, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, f), jnp.float32),
+        interpret=interpret,
+    )(feat, dgdat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def bin_pallas(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+    """feat: (B, G, F) depth-sorted -> gdat (B*T, F, K+CG)."""
+    return _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret)
+
+
+def _vjp_fwd(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+    out = _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret)
+    return out, feat
+
+
+def _vjp_bwd(tile_size, ntx, num_tiles, capacity, cg, interpret, feat, dgdat):
+    dfeat = _bwd_call(
+        feat, dgdat, tile_size, ntx, num_tiles, capacity, cg, interpret
+    )
+    return (dfeat,)
+
+
+bin_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def tile_counts(feat: jnp.ndarray, tile_size: int, ntx: int, nty: int) -> jnp.ndarray:
+    """Per-tile coverage counts for overflow diagnostics (XLA reduce).
+
+    feat: (B, G, F) -> (B, T) int32.
+    """
+    mx = feat[..., 0]
+    my = feat[..., 1]
+    r = feat[..., 5]
+    t = jnp.arange(ntx * nty, dtype=jnp.float32)
+    tx = (t % ntx) * tile_size
+    ty = (t // ntx) * tile_size
+    cov = (
+        (mx[..., None] + r[..., None] >= tx)
+        & (mx[..., None] - r[..., None] < tx + tile_size)
+        & (my[..., None] + r[..., None] >= ty)
+        & (my[..., None] - r[..., None] < ty + tile_size)
+        & (r[..., None] > 0.0)
+    )
+    return jnp.sum(cov.astype(jnp.int32), axis=1)
+
+
+def build_sorted_features(proj, feature=None):
+    """Projected Gaussians -> depth-sorted (G, F) feature rows."""
+    color = proj.rgb if feature is None else feature
+    c = color.shape[-1]
+    assert c <= 8
+    live = proj.valid & (proj.radius > 0.0)
+    depth_key = jnp.where(live, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+
+    g = proj.mean2d.shape[0]
+    big = jnp.float32(1e9)
+    cols = [
+        jnp.where(live, proj.mean2d[:, 0], big),
+        jnp.where(live, proj.mean2d[:, 1], big),
+        proj.conic[:, 0],
+        proj.conic[:, 1],
+        proj.conic[:, 2],
+        jnp.where(live, proj.radius, 0.0),
+        jnp.where(live, proj.opacity, 0.0),
+    ]
+    cols.extend(color[:, i] for i in range(c))
+    cols.extend(jnp.zeros((g,), jnp.float32) for _ in range(F - 7 - c))
+    feat = jnp.stack(cols, axis=-1)  # (G, F)
+    return feat[order]

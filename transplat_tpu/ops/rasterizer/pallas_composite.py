@@ -1,0 +1,319 @@
+"""Pallas TPU kernels for tile compositing (forward + custom backward).
+
+The performance path of the rasterizer: replaces the XLA scan in
+tiles.composite_tiles. Per-tile worklists are pre-gathered by XLA into a
+feature-major layout gdat[B*T, F, K] (lanes = Gaussians; batch folded into
+the grid), and the kernel composites each 16x16-pixel tile against its K
+Gaussians in lane-sized chunks:
+
+  forward:  alpha from the conic quadratic form, transmittance via a lane
+            cumsum in log space (exclusive cumprod), color accumulation as a
+            [P, CK] x [CK, 8] MXU matmul.
+  backward: a second forward sweep; the suffix sum the CUDA kernel gathers
+            back-to-front is obtained from the identity
+            suffix_k = <g, out_total> - <g, prefix_k>, so no reverse pass is
+            needed. Feature gradients reduce over pixels on the MXU.
+
+Feature rows of gdat: 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
+5 radius, 6 opacity, 7.. color channels (padded to F=16 rows; invalid
+worklist entries carry opacity 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .reference import TRANSMITTANCE_EPS
+
+F = 16  # feature rows (padded)
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+
+
+def _pixel_coords(tile_id, tile_size: int, ntx: int, p: int):
+    """Per-tile pixel centers: (P, 1) px and py, float32."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    tx = (tile_id % ntx) * tile_size
+    ty = (tile_id // ntx) * tile_size
+    px = (tx + i % tile_size).astype(jnp.float32)
+    py = (ty + i // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _lane_cumsum(x, chunk: int, exclusive: bool):
+    """Prefix sum along the lane axis as an MXU matmul with a triangular
+    ones matrix (Mosaic has no cumsum primitive; this keeps it on the MXU)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (rows < cols) if exclusive else (rows <= cols)
+    return jax.lax.dot_general(
+        x,
+        tri.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _chunk_alpha(sl, px, py):
+    """sl: (F, CK) chunk features; px/py: (P, 1). Returns alpha (P, CK) and
+    intermediates for backward."""
+    dx = px - sl[0:1, :]
+    dy = py - sl[1:2, :]
+    a, b, c = sl[2:3, :], sl[3:4, :], sl[4:5, :]
+    radius = sl[5:6, :]
+    opac = sl[6:7, :]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    raw = opac * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    keep = (
+        (power <= 0.0)
+        & (alpha >= ALPHA_MIN)
+        & (dx * dx + dy * dy <= radius * radius)
+    )
+    alpha = jnp.where(keep, alpha, 0.0)
+    uncapped = keep & (raw < ALPHA_MAX)
+    return alpha, dx, dy, power, uncapped
+
+
+def _composite_fwd_kernel(
+    gdat_ref, acc_ref, tfin_ref, *, tile_size: int, ntx: int, num_tiles: int, chunk: int
+):
+    p = tile_size * tile_size
+    k = gdat_ref.shape[2]
+    num_chunks = k // chunk
+    tile = pl.program_id(0) % num_tiles  # batch is folded into the grid
+    px, py = _pixel_coords(tile, tile_size, ntx, p)
+
+    def body(ci, carry):
+        t_run, acc = carry  # (P, 1) linear transmittance; (P, 8)
+        sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
+        alpha, _, _, _, _ = _chunk_alpha(sl, px, py)
+        log1m = jnp.log1p(-alpha)
+        excl = _lane_cumsum(log1m, chunk, exclusive=True)
+        t_before = t_run * jnp.exp(excl)  # exclusive cumprod
+        contrib = jnp.where(t_before >= TRANSMITTANCE_EPS, alpha * t_before, 0.0)
+        rgb = sl[7:15, :]  # (8, CK); unused rows are zero padding
+        acc = acc + jax.lax.dot_general(
+            contrib,
+            rgb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_run = t_run * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+        return t_run, acc
+
+    t_run = jnp.ones((p, 1), jnp.float32)
+    acc = jnp.zeros((p, 8), jnp.float32)
+    t_run, acc = jax.lax.fori_loop(0, num_chunks, body, (t_run, acc))
+    acc_ref[0] = acc
+    tfin_ref[0] = t_run.reshape(1, p)
+
+
+def _composite_bwd_kernel(
+    gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
+    *, tile_size: int, ntx: int, num_tiles: int, chunk: int,
+):
+    p = tile_size * tile_size
+    k = gdat_ref.shape[2]
+    num_chunks = k // chunk
+    tile = pl.program_id(0) % num_tiles
+    px, py = _pixel_coords(tile, tile_size, ntx, p)
+
+    g = gacc_ref[0]  # (P, 8) cotangent of acc
+    g_tfin = gtfin_ref[0].reshape(p, 1)
+    t_final = tfinres_ref[0].reshape(p, 1)
+    # <g, out_total> per pixel (padding rows of acc are zero).
+    g_dot_total = jnp.sum(g * accres_ref[0], axis=1, keepdims=True)  # (P, 1)
+
+    def body(ci, carry):
+        t_run, prefix = carry  # (P, 1), (P, 1) running <g, prefix>
+        sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
+        alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
+        log1m = jnp.log1p(-alpha)
+        excl = _lane_cumsum(log1m, chunk, exclusive=True)
+        t_before = t_run * jnp.exp(excl)
+        live = t_before >= TRANSMITTANCE_EPS
+        alpha_t = jnp.where(live, alpha * t_before, 0.0)  # (P, CK)
+
+        rgb = sl[7:15, :]
+        # <g, c_k> per pixel-gaussian: (P, CK).
+        g_dot_c = jax.lax.dot_general(
+            g, rgb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = g_dot_c * alpha_t  # <g, contrib_k>
+        prefix_k = prefix + _lane_cumsum(s, chunk, exclusive=False)
+        suffix = g_dot_total - prefix_k  # <g, A_k>
+
+        one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+        d_alpha = jnp.where(
+            live,
+            g_dot_c * t_before - suffix / one_minus - g_tfin * t_final / one_minus,
+            0.0,
+        )
+
+        # d color: sum over pixels of g[p, :] * alpha_t[p, k] -> (8, CK).
+        d_rgb = jax.lax.dot_general(
+            g, alpha_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # Chain through alpha = opac * exp(power) (capped & masked).
+        a, b, c = sl[2:3, :], sl[3:4, :], sl[4:5, :]
+        d_alpha_eff = jnp.where(uncapped, d_alpha, 0.0)
+        d_opac = jnp.sum(d_alpha_eff * jnp.exp(power), axis=0, keepdims=True)
+        d_power = d_alpha_eff * alpha
+        d_conic_a = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_conic_b = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_conic_c = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_mx = jnp.sum(d_power * (a * dx + b * dy), axis=0, keepdims=True)
+        d_my = jnp.sum(d_power * (c * dy + b * dx), axis=0, keepdims=True)
+        d_radius = jnp.zeros_like(d_mx)
+
+        dg_top = jnp.concatenate(
+            [d_mx, d_my, d_conic_a, d_conic_b, d_conic_c, d_radius, d_opac],
+            axis=0,
+        )  # (7, CK)
+        dgdat_ref[0, 0:7, pl.ds(ci * chunk, chunk)] = dg_top
+        dgdat_ref[0, 7:15, pl.ds(ci * chunk, chunk)] = d_rgb
+        dgdat_ref[0, 15:16, pl.ds(ci * chunk, chunk)] = jnp.zeros(
+            (1, chunk), jnp.float32
+        )
+
+        t_run = t_run * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+        prefix = prefix + jnp.sum(s, axis=1, keepdims=True)
+        return t_run, prefix
+
+    t_run = jnp.ones((p, 1), jnp.float32)
+    prefix = jnp.zeros((p, 1), jnp.float32)
+    jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
+
+
+def _fwd_call(gdat, tile_size, ntx, num_tiles, chunk, interpret):
+    bt, f, k = gdat.shape
+    p = tile_size * tile_size
+    kernel = functools.partial(
+        _composite_fwd_kernel,
+        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles, chunk=chunk,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bt,),
+        in_specs=[
+            pl.BlockSpec((1, f, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, p, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt, p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bt, 1, p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(gdat)
+
+
+def _bwd_call(gdat, gacc, gtfin, accres, tfinres, tile_size, ntx, num_tiles, chunk, interpret):
+    bt, f, k = gdat.shape
+    p = tile_size * tile_size
+    kernel = functools.partial(
+        _composite_bwd_kernel,
+        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles, chunk=chunk,
+    )
+
+    def spec(shape):
+        return pl.BlockSpec(
+            (1, *shape), lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bt,),
+        in_specs=[spec((f, k)), spec((p, 8)), spec((1, p)), spec((p, 8)), spec((1, p))],
+        out_specs=spec((f, k)),
+        out_shape=jax.ShapeDtypeStruct((bt, f, k), jnp.float32),
+        interpret=interpret,
+    )(gdat, gacc, gtfin, accres, tfinres)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def composite_pallas(gdat, tile_size, ntx, num_tiles, chunk, interpret):
+    """gdat: (B*T, F, K) -> (acc (B*T, P, 8), t_final (B*T, 1, P))."""
+    return _fwd_call(gdat, tile_size, ntx, num_tiles, chunk, interpret)
+
+
+def _vjp_fwd(gdat, tile_size, ntx, num_tiles, chunk, interpret):
+    acc, tfin = _fwd_call(gdat, tile_size, ntx, num_tiles, chunk, interpret)
+    return (acc, tfin), (gdat, acc, tfin)
+
+
+def _vjp_bwd(tile_size, ntx, num_tiles, chunk, interpret, residuals, cotangents):
+    gdat, acc, tfin = residuals
+    gacc, gtfin = cotangents
+    dgdat = _bwd_call(
+        gdat, gacc, gtfin, acc, tfin, tile_size, ntx, num_tiles, chunk, interpret
+    )
+    return (dgdat,)
+
+
+composite_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def build_gdat(proj, tiles, feature=None):
+    """Gather per-tile worklist features into (T, F, K) feature-major layout."""
+    color_all = proj.rgb if feature is None else feature
+    c = color_all.shape[-1]
+    assert c <= 8
+    opacity_all = jnp.where(proj.valid, proj.opacity, 0.0)
+    idx = tiles.indices
+    msk = tiles.mask
+    mean2d = proj.mean2d[idx]
+    conic = proj.conic[idx]
+    rows = [
+        mean2d[..., 0],
+        mean2d[..., 1],
+        conic[..., 0],
+        conic[..., 1],
+        conic[..., 2],
+        proj.radius[idx],
+        jnp.where(msk, opacity_all[idx], 0.0),
+    ]
+    col = color_all[idx]
+    rows.extend(col[..., i] for i in range(c))
+    rows.extend(jnp.zeros_like(rows[0]) for _ in range(F - 7 - c))
+    return jnp.stack(rows, axis=1)  # (T, F, K)
+
+
+def composite_batched_pallas(
+    gdat: jnp.ndarray,  # (B, T, F, K)
+    background: jnp.ndarray,  # (B, C)
+    image_shape: tuple[int, int],
+    num_tiles_x: int,
+    num_tiles_y: int,
+    num_channels: int = 3,
+    tile_size: int = 16,
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, T, F, K) worklists -> (B, h, w, C) images."""
+    b, t, f, k = gdat.shape
+    h, w = image_shape
+    c = num_channels
+    acc, tfin = composite_pallas(
+        gdat.reshape(b * t, f, k), tile_size, num_tiles_x, t, chunk, interpret
+    )
+    p = tile_size * tile_size
+    acc = acc.reshape(b, t, p, 8)[..., :c]
+    tfin = tfin.reshape(b, t, p)
+    out = acc + tfin[..., None] * background[:, None, None, :]
+    out = out.reshape(b, num_tiles_y, num_tiles_x, tile_size, tile_size, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, num_tiles_y * tile_size, num_tiles_x * tile_size, c
+    )
+    return out[:, :h, :w]

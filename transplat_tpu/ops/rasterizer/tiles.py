@@ -121,6 +121,181 @@ def bin_gaussians(
     )
 
 
+def bin_gaussians_fast(
+    proj: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    tile_size: int = 16,
+    capacity: int = 1024,
+    tile_chunk: int = 64,
+) -> TileLists:
+    """Sort-free binning (the TPU fast path).
+
+    XLA's TPU sort is bitonic and dominates the naive pair-sort approach, but
+    a full sort is unnecessary: Gaussians are already depth-ordered, so the
+    per-tile worklist rank of a Gaussian is just the count of earlier sorted
+    Gaussians covering the same tile. That's a column cumsum of the (G, T)
+    coverage matrix, and the worklist is recovered with a binary search per
+    (tile, slot) on the monotone cumulative counts — O(G*T) vectorized
+    compares instead of an O(G*MT log) sort, with no per-Gaussian tile cap.
+
+    tile_chunk bounds peak memory: the coverage cumsum is materialized for
+    tile_chunk tiles at a time ((G, tile_chunk) int32).
+    """
+    h, w = image_shape
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    num_tiles = ntx * nty
+    assert num_tiles % tile_chunk == 0 or tile_chunk >= num_tiles
+    tile_chunk = min(tile_chunk, num_tiles)
+
+    g = proj.mean2d.shape[0]
+    live = proj.valid & (proj.radius > 0.0)
+    depth_key = jnp.where(live, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+
+    mean2d = proj.mean2d[order]
+    radius = proj.radius[order]
+    live_s = live[order]
+
+    rmin_x = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, ntx).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, nty).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size) + 1, 0, ntx).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size) + 1, 0, nty).astype(jnp.int32)
+    rmin_x = jnp.where(live_s, rmin_x, ntx)
+    rmax_x = jnp.where(live_s, rmax_x, 0)
+
+    kk = jnp.arange(capacity, dtype=jnp.int32)
+
+    def process_chunk(t0):
+        t = t0 * tile_chunk + jnp.arange(tile_chunk, dtype=jnp.int32)
+        tx = t % ntx
+        ty = t // ntx
+        cov = (
+            (tx[None, :] >= rmin_x[:, None])
+            & (tx[None, :] < rmax_x[:, None])
+            & (ty[None, :] >= rmin_y[:, None])
+            & (ty[None, :] < rmax_y[:, None])
+        )
+        cum = jnp.cumsum(cov.astype(jnp.int32), axis=0)  # (G, TC)
+        counts = cum[-1]  # (TC,)
+        # k-th covered Gaussian = first sorted rank with cum == k+1.
+        ranks = jax.vmap(
+            lambda col: jnp.searchsorted(col, kk + 1, side="left"), in_axes=1
+        )(cum)  # (TC, K)
+        idx = order[jnp.minimum(ranks, g - 1)]
+        msk = kk[None, :] < jnp.minimum(counts, capacity)[:, None]
+        return idx, msk, counts
+
+    n_chunks = num_tiles // tile_chunk
+    idx, msk, counts = jax.lax.map(process_chunk, jnp.arange(n_chunks))
+    indices = idx.reshape(num_tiles, capacity)
+    mask = msk.reshape(num_tiles, capacity)
+    counts = counts.reshape(num_tiles)
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0))
+
+    return TileLists(
+        indices=indices,
+        mask=mask,
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+        overflow=overflow.astype(jnp.int32),
+        truncated=jnp.zeros((), jnp.int32),
+    )
+
+
+def bin_gaussians_scatter(
+    proj: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    tile_size: int = 16,
+    max_tiles_per_gaussian: int = 16,
+    capacity: int = 1024,
+) -> TileLists:
+    """Counting-sort binning via coverage cumsum + one scatter (TPU fast path).
+
+    Gaussians are already depth-ordered, so a pair's slot in its tile's
+    worklist is the count of earlier sorted Gaussians covering that tile: an
+    exclusive cumsum of the (G, T) coverage matrix along the sorted axis.
+    Each (gaussian, tile) pair then scatters its Gaussian id directly into
+    indices[tile, slot] — no sort, no binary search. Measured ~10x faster
+    than XLA's bitonic pair-sort at G=131k on v5e.
+    """
+    h, w = image_shape
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    num_tiles = ntx * nty
+
+    g = proj.mean2d.shape[0]
+    live = proj.valid & (proj.radius > 0.0)
+    depth_key = jnp.where(live, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+
+    mean2d = proj.mean2d[order]
+    radius = proj.radius[order]
+    live_s = live[order]
+
+    rmin_x = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, ntx).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, nty).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size) + 1, 0, ntx).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size) + 1, 0, nty).astype(jnp.int32)
+    rmin_x = jnp.where(live_s, rmin_x, ntx)
+    rmax_x = jnp.where(live_s, rmax_x, 0)
+    rw = jnp.maximum(rmax_x - rmin_x, 0)
+    rh = jnp.maximum(rmax_y - rmin_y, 0)
+    coverage = rw * rh
+    truncated = jnp.sum(jnp.maximum(coverage - max_tiles_per_gaussian, 0))
+
+    # Coverage matrix and exclusive per-tile prefix counts over sorted order.
+    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tx = t_ids % ntx
+    ty = t_ids // ntx
+    cov = (
+        (tx[None, :] >= rmin_x[:, None])
+        & (tx[None, :] < rmax_x[:, None])
+        & (ty[None, :] >= rmin_y[:, None])
+        & (ty[None, :] < rmax_y[:, None])
+    ).astype(jnp.int32)  # (G, T)
+    cum_incl = jnp.cumsum(cov, axis=0)
+    cum_excl = cum_incl - cov
+    counts = cum_incl[-1]  # (T,)
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0))
+
+    # Enumerate each Gaussian's covered tiles (like the sort path).
+    mt = max_tiles_per_gaussian
+    offsets = jnp.arange(mt, dtype=jnp.int32)
+    rw_safe = jnp.maximum(rw, 1)
+    ox = rmin_x[:, None] + offsets[None, :] % rw_safe[:, None]
+    oy = rmin_y[:, None] + offsets[None, :] // rw_safe[:, None]
+    pair_valid = offsets[None, :] < coverage[:, None]
+    tile_id = jnp.where(pair_valid, oy * ntx + ox, 0)  # (G, MT)
+
+    # Slot per pair: gather from the exclusive prefix counts.
+    g_idx = jnp.arange(g, dtype=jnp.int32)[:, None]
+    slot = cum_excl.reshape(-1)[g_idx * num_tiles + tile_id]  # (G, MT)
+
+    dump = num_tiles * capacity
+    dest = jnp.where(
+        pair_valid & (slot < capacity), tile_id * capacity + slot, dump
+    )
+    gid = jnp.broadcast_to(order[:, None], (g, mt))
+    indices_flat = jnp.zeros((dump + 1,), jnp.int32).at[dest.reshape(-1)].set(
+        gid.reshape(-1), mode="drop", unique_indices=False
+    )
+    mask_flat = jnp.zeros((dump + 1,), jnp.bool_).at[dest.reshape(-1)].set(
+        True, mode="drop"
+    )
+    indices = indices_flat[:dump].reshape(num_tiles, capacity)
+    mask = mask_flat[:dump].reshape(num_tiles, capacity)
+
+    return TileLists(
+        indices=indices,
+        mask=mask,
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+        overflow=overflow.astype(jnp.int32),
+        truncated=truncated.astype(jnp.int32),
+    )
+
+
 def _tile_pixel_coords(
     ntx: int, nty: int, tile_size: int, dtype=jnp.float32
 ) -> jnp.ndarray:
