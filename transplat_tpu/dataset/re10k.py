@@ -53,9 +53,15 @@ def convert_poses(poses: np.ndarray):
 
 
 def _decode_images(image_bytes_list) -> np.ndarray:
+    blobs = [np.asarray(b, dtype=np.uint8).tobytes() for b in image_bytes_list]
+    # Native threaded libjpeg decoder (transplat_tpu/native); PIL fallback.
+    from .. import native
+
+    decoded = native.decode_jpeg_batch(blobs)
+    if decoded is not None:
+        return decoded.astype(np.float32) / 255.0
     out = []
-    for blob in image_bytes_list:
-        data = np.asarray(blob, dtype=np.uint8).tobytes()
+    for data in blobs:
         img = Image.open(io.BytesIO(data)).convert("RGB")
         out.append(np.asarray(img, dtype=np.float32) / 255.0)
     return np.stack(out)

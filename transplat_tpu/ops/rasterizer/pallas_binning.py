@@ -67,11 +67,16 @@ def _chunk_offsets(mask, cg: int):
     return excl, n
 
 
-def _onehot(mask, excl, cg: int):
-    """One-hot [CG_src, CG_dst]: row i hits column excl[i] when covered."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 1)
-    rel = excl.astype(jnp.int32)  # (CG, 1)
-    return ((cols == rel) & mask).astype(jnp.float32)
+_ALIGN = 128  # Mosaic lane-offset alignment for dynamic slices
+
+
+def _onehot(mask, rel, cg: int):
+    """One-hot [CG_src, CG_dst + ALIGN]: row i hits column rel[i] when covered.
+
+    The destination window is ALIGN wider than the chunk because the window
+    start is aligned down to a lane-multiple (rel in [0, ALIGN + CG))."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg + _ALIGN), 1)
+    return ((cols == rel.astype(jnp.int32)) & mask).astype(jnp.float32)
 
 
 def _bin_fwd_kernel(
@@ -93,15 +98,17 @@ def _bin_fwd_kernel(
 
         @pl.when(n > 0.0)
         def _():
-            onehot = _onehot(mask, excl, cg)
-            # (F, CG_dst) contribution: contract source rows.
+            b = jnp.minimum(base, capacity).astype(jnp.int32)
+            w0 = pl.multiple_of((b // _ALIGN) * _ALIGN, _ALIGN)
+            rel = (b - w0).astype(jnp.float32) + excl
+            onehot = _onehot(mask, rel, cg)
+            # (F, CG_dst + ALIGN) contribution: contract source rows.
             contrib = jax.lax.dot_general(
                 sl, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            b = jnp.minimum(base, capacity).astype(jnp.int32)
-            cur = gdat_ref[0, :, pl.ds(b, cg)]
-            gdat_ref[0, :, pl.ds(b, cg)] = cur + contrib
+            cur = gdat_ref[0, :, pl.ds(w0, cg + _ALIGN)]
+            gdat_ref[0, :, pl.ds(w0, cg + _ALIGN)] = cur + contrib
 
         return base + n.astype(jnp.int32)
 
@@ -132,9 +139,11 @@ def _bin_bwd_kernel(
 
         @pl.when(n > 0.0)
         def _():
-            onehot = _onehot(mask, excl, cg)
             b = jnp.minimum(base, capacity).astype(jnp.int32)
-            window = dgdat_ref[0, :, pl.ds(b, cg)]  # (F, CG_dst)
+            w0 = pl.multiple_of((b // _ALIGN) * _ALIGN, _ALIGN)
+            rel = (b - w0).astype(jnp.float32) + excl
+            onehot = _onehot(mask, rel, cg)
+            window = dgdat_ref[0, :, pl.ds(w0, cg + _ALIGN)]  # (F, CG + ALIGN)
             # (CG_src, F): route cotangents back through the one-hot.
             back = jax.lax.dot_general(
                 onehot, window, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -166,11 +175,11 @@ def _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, f, capacity + cg), lambda i: (i, 0, 0),
+            (1, f, capacity + cg + _ALIGN), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b * num_tiles, f, capacity + cg), jnp.float32
+            (b * num_tiles, f, capacity + cg + _ALIGN), jnp.float32
         ),
         interpret=interpret,
     )(feat)
@@ -193,7 +202,7 @@ def _bwd_call(feat, dgdat, tile_size, ntx, num_tiles, capacity, cg, interpret):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, f, capacity + cg), lambda i: (i, 0, 0),
+                (1, f, capacity + cg + _ALIGN), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -207,7 +216,12 @@ def _bwd_call(feat, dgdat, tile_size, ntx, num_tiles, capacity, cg, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def bin_pallas(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
-    """feat: (B, G, F) depth-sorted -> gdat (B*T, F, K+CG)."""
+    """feat: (B, G, F) depth-sorted -> gdat (B*T, F, K + CG + ALIGN).
+
+    Only the first `capacity` worklist columns are clean (overflow columns
+    receive overlapping writes) — slice before compositing.
+    """
+    assert capacity % _ALIGN == 0, "capacity must be a multiple of 128"
     return _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret)
 
 
