@@ -1,0 +1,116 @@
+"""CLI entry point: python -m transplat_tpu.main <mode> [options].
+
+TPU equivalent of the reference's hydra launcher (/root/reference/src/main.py):
+  train           — fit on the configured dataset over the device mesh
+  test            — golden-index evaluation with metrics + timing dumps
+  generate-index  — build an evaluation index by view overlap
+  bench           — rasterizer throughput benchmark (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    parser = argparse.ArgumentParser(description="transplat_tpu")
+    parser.add_argument(
+        "mode", choices=["train", "test", "generate-index", "bench"]
+    )
+    parser.add_argument("--experiment", default="re10k")
+    parser.add_argument("--config", default=None, help="YAML override file")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--max-scenes", type=int, default=None)
+    parser.add_argument("--evaluation-index", default=None)
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    parser.add_argument("--sp", type=int, default=1, help="splat-parallel size")
+    args = parser.parse_args()
+
+    from .config import load_config
+
+    cfg = load_config(args.experiment, yaml_path=args.config)
+    if args.evaluation_index:
+        cfg.test.evaluation_index = args.evaluation_index
+    if args.checkpoint:
+        cfg.checkpointing.load = args.checkpoint
+    if args.output:
+        cfg.test.output_path = args.output
+
+    if args.mode == "train":
+        from .parallel.mesh import make_mesh
+        from .training.trainer import Trainer
+
+        mesh = make_mesh(dp=args.dp, sp=args.sp)
+        trainer = Trainer(cfg, mesh=mesh)
+        trainer.fit(max_steps=args.max_steps)
+
+    elif args.mode == "test":
+        import jax
+
+        from .evaluation.evaluator import Evaluator
+        from .model.encoder import EncoderTranSplat
+        from .training.checkpointing import CheckpointManager
+        from .training.schedule import make_lr_schedule
+        from .training.step import create_train_state, make_optimizer
+
+        from .dataset.loader import synthetic_batch
+
+        optimizer = make_optimizer(make_lr_schedule(cfg.optimizer.lr, 1000))
+        init_batch = synthetic_batch(
+            0, batch_size=1, image_shape=tuple(cfg.dataset.image_shape)
+        )
+        state = create_train_state(
+            jax.random.PRNGKey(0), cfg.encoder, optimizer, init_batch
+        )
+        if cfg.checkpointing.load:
+            manager = CheckpointManager(cfg.checkpointing.load)
+            restored = manager.restore(state)
+            if restored is not None:
+                state = restored
+                print(f"loaded checkpoint at step {int(state.step)}")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        evaluator = Evaluator(cfg, variables, lpips_params=state.lpips_params)
+        scores = evaluator.run(max_scenes=args.max_scenes, save_images=cfg.test.save_image)
+        print(json.dumps({k: v for k, v in list(scores.items())[:5]}, indent=2))
+
+    elif args.mode == "generate-index":
+        from .dataset.re10k import ChunkDataset, convert_poses
+        from .dataset.view_samplers import ViewSamplerAll
+        from .evaluation.index_generator import (
+            EvaluationIndexGenerator,
+            IndexGeneratorCfg,
+        )
+        import numpy as np
+        import torch
+        from pathlib import Path
+
+        gen = EvaluationIndexGenerator(IndexGeneratorCfg())
+        for root in cfg.dataset.roots:
+            for chunk_path in sorted((Path(root) / "test").glob("*.torch")):
+                chunk = torch.load(chunk_path, weights_only=False)
+                for raw in chunk:
+                    extr, intr = convert_poses(
+                        np.asarray(raw["cameras"], np.float32)
+                    )
+                    gen.process_scene(raw["key"], extr, intr)
+        out = args.output or "outputs/evaluation_index.json"
+        gen.save(out)
+        print(f"wrote {out} with {len(gen.index)} scenes")
+
+    elif args.mode == "bench":
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", Path(__file__).parents[1] / "bench.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+
+
+if __name__ == "__main__":
+    main()
