@@ -194,11 +194,11 @@ def render(
         cg = cfg.chunk
 
         # Pad the Gaussian stream to a whole number of kernel chunks; padding
-        # rows have radius 0 so they never cover a tile.
-        g_total = feat.shape[1]
+        # columns have radius 0 so they never cover a tile.
+        g_total = feat.shape[2]
         pad = (-g_total) % cg
         if pad:
-            feat = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
+            feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad)))
 
         gdat = bin_pallas(
             feat, ts, ntx, num_tiles, cfg.capacity, cg, cfg.interpret
