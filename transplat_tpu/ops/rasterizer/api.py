@@ -35,6 +35,7 @@ class RasterizeConfig:
     mode: str = "auto"  # "auto" | "pallas" | "tiled" | "reference"
     binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
+    stream_window: int = 16384  # Gaussians per binning-kernel grid window
 
     def resolved_mode(self) -> str:
         if self.mode != "auto":
@@ -193,15 +194,17 @@ def render(
         b = feat.shape[0]
         cg = cfg.chunk
 
-        # Pad the Gaussian stream to a whole number of kernel chunks; padding
-        # columns have radius 0 so they never cover a tile.
+        # Pad the Gaussian stream to a whole number of kernel stream windows;
+        # padding columns have radius 0 so they never cover a tile.
         g_total = feat.shape[2]
-        pad = (-g_total) % cg
+        window = max(cg, min(cfg.stream_window, -(-g_total // cg) * cg))
+        window = -(-window // cg) * cg  # multiple of cg
+        pad = (-g_total) % window
         if pad:
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad)))
 
         gdat = bin_pallas(
-            feat, ts, ntx, num_tiles, cfg.capacity, cg, cfg.interpret
+            feat, ts, ntx, num_tiles, cfg.capacity, cg, window, cfg.interpret
         )
         from .pallas_binning import tile_counts
 

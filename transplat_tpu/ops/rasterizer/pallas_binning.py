@@ -5,23 +5,26 @@ XLA's pair-sort binning costs ~130ms at G=131k (bitonic sort), and
 counting-sort alternatives bottleneck on 2M-element gathers/scatters (~50ms —
 TPU random access is slow). This kernel avoids all per-pair memory traffic:
 
-  * per tile (grid), stream the depth-sorted Gaussian features [F, G]
-    (feature-major: 16 sublanes x G lanes, VMEM-resident) in chunks of CG
-  * coverage mask from the screen rect vs this tile
-  * in-chunk compaction offsets via a triangular-matmul cumsum
-  * scatter-free write: a one-hot matrix [CG, CG+ALIGN] built from the
-    offsets turns compaction into
+  * the depth-sorted Gaussian stream [F, G] (feature-major: 16 sublanes x G
+    lanes) is processed in windows of W lanes — grid (B*T, G/W) — so Mosaic
+    pipelines window DMA against compute and VMEM stays small
+  * per-(tile, window) worklist base offsets are precomputed in XLA (one
+    coverage reduce + cumsum) and passed via scalar prefetch, which makes
+    every (tile, window) grid cell independent
+  * within a window: coverage mask from the screen rect vs this tile,
+    compaction offsets via a triangular-matmul cumsum, and a scatter-free
+    write — a one-hot matrix turns compaction into
       gdat[:, w0:w0+CG+ALIGN] += sl @ onehot
-    an MXU matmul into a lane-aligned window of the worklist (the window
-    start is aligned down to 128 so Mosaic can prove the slice alignment)
+    an MXU matmul into a lane-aligned window of the worklist
 
-Lane->sublane vector moves (rel/mask) are done with identity-matrix matmuls —
-always supported, MXU-cheap — instead of relayout transposes.
+Lane->sublane vector moves (rel/mask) are identity-matrix matmuls — always
+supported, MXU-cheap — instead of relayout transposes.
 
-The backward pass re-runs the same stream, transposing the one-hot matmul to
-accumulate worklist cotangents back onto per-Gaussian features — again with
-zero scatters. Feature rows match pallas_composite.gdat (mean, conic, radius,
-opacity, rgb).
+The backward pass re-runs the stream with grid (B, G/W, T) (windows outer, so
+the dfeat window block accumulates over consecutive tile steps), transposing
+the one-hot matmul to route worklist cotangents back onto per-Gaussian
+features — zero scatters. Feature rows match pallas_composite.gdat
+(mean, conic, radius, opacity, rgb).
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ _ALIGN = 128  # Mosaic lane-offset alignment for dynamic slices
 
 
 def _coverage_lanes(sl, tx, ty, tile_size: int):
-    """sl: (F, CG) chunk; tx/ty scalar tile coords. Returns (1, CG) mask.
+    """sl: (F, CG) chunk; tx/ty scalar tile coords. Returns (1, CG) bool mask.
 
     Covers iff the tile's pixel range intersects [m - r, m + r] in both axes
     (exact cover of the circular alpha cutoff)."""
@@ -58,195 +61,259 @@ def _coverage_lanes(sl, tx, ty, tile_size: int):
     )
 
 
-def _lane_to_sublane(v, cg: int):
-    """(1, CG) -> (CG, 1) via an identity matmul (transpose-free)."""
+def _constants(cg: int):
+    """Loop-invariant matrices: strict-upper tri, identity, one-hot columns."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 1)
+    tri = (rows < cols).astype(jnp.float32)
     eye = (rows == cols).astype(jnp.float32)
-    return jax.lax.dot_general(
-        eye, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    oh_cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg + _ALIGN), 1)
+    return tri, eye, oh_cols
 
 
-def _chunk_plan(sl, tx, ty, tile_size: int, cg: int):
+def _chunk_plan(sl, tx, ty, tile_size: int, cg: int, tri, eye):
     """Coverage + compaction offsets for one chunk.
 
-    Returns (mask_s (CG,1) float, excl_s (CG,1) float, n scalar float)."""
+    Returns (mask_s (CG,1), excl_s (CG,1), n scalar), all float32."""
     mask_l = _coverage_lanes(sl, tx, ty, tile_size).astype(jnp.float32)  # (1, CG)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 1)
-    # excl[i] = sum_{j<i} mask[j]  ==  mask_l @ T with T[j, i] = (j < i).
-    tri = (rows < cols).astype(jnp.float32)
+    # excl[i] = sum_{j<i} mask[j]  ==  mask_l @ tri.
     excl_l = jax.lax.dot_general(
         mask_l, tri, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (1, CG)
-    mask_s = _lane_to_sublane(mask_l, cg)
-    excl_s = _lane_to_sublane(excl_l, cg)
-    n = jnp.sum(mask_l)
-    return mask_s, excl_s, n
-
-
-def _onehot(mask_s, rel_s, cg: int):
-    """One-hot [CG_src, CG + ALIGN]: row i hits column rel[i] when covered."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg + _ALIGN), 1)
-    return jnp.where(
-        (cols == rel_s.astype(jnp.int32)) & (mask_s > 0.5), 1.0, 0.0
     )
+    # Lane -> sublane via identity matmul.
+    mask_s = jax.lax.dot_general(
+        eye, mask_l, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    excl_s = jax.lax.dot_general(
+        eye, excl_l, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return mask_s, excl_s, jnp.sum(mask_l)
 
 
-def _bin_fwd_kernel(
-    feat_ref, gdat_ref,
-    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int,
+def _window_pass(
+    sl_window_ref, gdat_like_ref, base0, tx, ty,
+    *, tile_size: int, capacity: int, cg: int, backward: bool,
+    dfeat_ref=None,
 ):
-    g = feat_ref.shape[2]
-    num_chunks = g // cg
-    tile = pl.program_id(0) % num_tiles
-    tx = (tile % ntx).astype(jnp.float32)
-    ty = (tile // ntx).astype(jnp.float32)
-
-    gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
+    """Shared fwd/bwd sweep over one feature window."""
+    width = sl_window_ref.shape[2]
+    num_chunks = width // cg
+    tri, eye, oh_cols = _constants(cg)
 
     def body(ci, base):
         off = pl.multiple_of(ci * cg, cg)
-        sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
-        mask_s, excl_s, n = _chunk_plan(sl, tx, ty, tile_size, cg)
+        sl = sl_window_ref[0, :, pl.ds(off, cg)]  # (F, CG)
+        mask_s, excl_s, n = _chunk_plan(sl, tx, ty, tile_size, cg, tri, eye)
 
         @pl.when(n > 0.0)
         def _():
             b = jnp.minimum(base, capacity).astype(jnp.int32)
             w0 = pl.multiple_of((b // _ALIGN) * _ALIGN, _ALIGN)
-            rel_s = (b - w0).astype(jnp.float32) + excl_s
-            onehot = _onehot(mask_s, rel_s, cg)
-            # (F, CG + ALIGN): contract source lanes against one-hot rows.
-            contrib = jax.lax.dot_general(
-                sl, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            cur = gdat_ref[0, :, pl.ds(w0, cg + _ALIGN)]
-            gdat_ref[0, :, pl.ds(w0, cg + _ALIGN)] = cur + contrib
+            rel = (b - w0).astype(jnp.float32) + excl_s
+            onehot = jnp.where(
+                (oh_cols == rel.astype(jnp.int32)) & (mask_s > 0.5), 1.0, 0.0
+            )  # (CG, CG + ALIGN)
+            if not backward:
+                contrib = jax.lax.dot_general(
+                    sl, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cur = gdat_like_ref[0, :, pl.ds(w0, cg + _ALIGN)]
+                gdat_like_ref[0, :, pl.ds(w0, cg + _ALIGN)] = cur + contrib
+            else:
+                window = gdat_like_ref[0, :, pl.ds(w0, cg + _ALIGN)]
+                back = jax.lax.dot_general(
+                    window, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cur = dfeat_ref[0, :, pl.ds(off, cg)]
+                dfeat_ref[0, :, pl.ds(off, cg)] = cur + back
 
         return base + n.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((), jnp.int32))
+    jax.lax.fori_loop(0, num_chunks, body, base0)
 
 
-def _bin_bwd_kernel(
-    feat_ref, dgdat_ref, dfeat_ref,
-    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int,
+def _bin_fwd_kernel(
+    base_ref, feat_ref, gdat_ref,
+    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int, nw: int,
 ):
-    g = feat_ref.shape[2]
-    num_chunks = g // cg
-    i = pl.program_id(0)
+    i = pl.program_id(0)  # b * num_tiles + tile
+    w = pl.program_id(1)
     tile = i % num_tiles
     tx = (tile % ntx).astype(jnp.float32)
     ty = (tile // ntx).astype(jnp.float32)
 
-    # dfeat accumulates across the (sequential) grid; zero it when we first
-    # touch each batch element's block.
-    @pl.when(tile == 0)
+    @pl.when(w == 0)
+    def _():
+        gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
+
+    base0 = base_ref[i * nw + w]
+    _window_pass(
+        feat_ref, gdat_ref, base0, tx, ty,
+        tile_size=tile_size, capacity=capacity, cg=cg, backward=False,
+    )
+
+
+def _bin_bwd_kernel(
+    base_ref, feat_ref, dgdat_ref, dfeat_ref,
+    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int, nw: int,
+):
+    b = pl.program_id(0)
+    w = pl.program_id(1)
+    t = pl.program_id(2)
+    tx = (t % ntx).astype(jnp.float32)
+    ty = (t // ntx).astype(jnp.float32)
+
+    @pl.when(t == 0)
     def _():
         dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
-    def body(ci, base):
-        off = pl.multiple_of(ci * cg, cg)
-        sl = feat_ref[0, :, pl.ds(off, cg)]
-        mask_s, excl_s, n = _chunk_plan(sl, tx, ty, tile_size, cg)
-
-        @pl.when(n > 0.0)
-        def _():
-            b = jnp.minimum(base, capacity).astype(jnp.int32)
-            w0 = pl.multiple_of((b // _ALIGN) * _ALIGN, _ALIGN)
-            rel_s = (b - w0).astype(jnp.float32) + excl_s
-            onehot = _onehot(mask_s, rel_s, cg)
-            window = dgdat_ref[0, :, pl.ds(w0, cg + _ALIGN)]  # (F, CG + ALIGN)
-            # (F, CG_src): route cotangents back through the one-hot columns.
-            back = jax.lax.dot_general(
-                window, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            cur = dfeat_ref[0, :, pl.ds(off, cg)]
-            dfeat_ref[0, :, pl.ds(off, cg)] = cur + back
-
-        return base + n.astype(jnp.int32)
-
-    jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((), jnp.int32))
+    base0 = base_ref[(b * num_tiles + t) * nw + w]
+    _window_pass(
+        feat_ref, dgdat_ref, base0, tx, ty,
+        tile_size=tile_size, capacity=capacity, cg=cg, backward=True,
+        dfeat_ref=dfeat_ref,
+    )
 
 
-def _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+def window_bases(
+    feat: jnp.ndarray, tile_size: int, ntx: int, nty: int, window: int
+) -> jnp.ndarray:
+    """XLA: exclusive per-(tile, window) worklist base offsets.
+
+    feat: (B, F, G) -> (B, T, NW) int32 with base[b, t, w] = number of
+    Gaussians in windows < w covering tile t. Uses the exact same coverage
+    predicate as the kernel.
+    """
+    b, _, g = feat.shape
+    nw = g // window
+    mx = feat[:, 0, :].reshape(b, nw, window)
+    my = feat[:, 1, :].reshape(b, nw, window)
+    r = feat[:, 5, :].reshape(b, nw, window)
+    t = jnp.arange(ntx * nty, dtype=jnp.float32)
+    tx = (t % ntx) * tile_size
+    ty = (t // ntx) * tile_size
+    cov = (
+        (mx[..., None] + r[..., None] >= tx)
+        & (mx[..., None] - r[..., None] < tx + tile_size)
+        & (my[..., None] + r[..., None] >= ty)
+        & (my[..., None] - r[..., None] < ty + tile_size)
+        & (r[..., None] > 0.0)
+    )  # (B, NW, W, T)
+    counts = cov.sum(axis=2).astype(jnp.int32)  # (B, NW, T)
+    incl = jnp.cumsum(counts, axis=1)
+    excl = incl - counts
+    return jnp.moveaxis(excl, 1, 2)  # (B, T, NW)
+
+
+def _fwd_call(feat, bases, tile_size, ntx, num_tiles, capacity, cg, window, interpret):
     b, f, g = feat.shape  # (B, F, G) feature-major
+    nw = g // window
     kernel = functools.partial(
         _bin_fwd_kernel,
         tile_size=tile_size, ntx=ntx, num_tiles=num_tiles,
-        capacity=capacity, cg=cg,
+        capacity=capacity, cg=cg, nw=nw,
     )
     width = capacity + cg + _ALIGN
-    gdat = pl.pallas_call(
-        kernel,
-        grid=(b * num_tiles,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * num_tiles, nw),
         in_specs=[
             pl.BlockSpec(
-                (1, f, g), lambda i: (i // num_tiles, 0, 0),
+                (1, f, window),
+                lambda i, w, _base: (i // num_tiles, 0, w),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, f, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, f, width), lambda i, w, _base: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * num_tiles, f, width), jnp.float32),
         interpret=interpret,
-    )(feat)
-    return gdat
+    )(bases.reshape(-1), feat)
 
 
-def _bwd_call(feat, dgdat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+def _bwd_call(
+    feat, bases, dgdat, tile_size, ntx, num_tiles, capacity, cg, window, interpret
+):
     b, f, g = feat.shape
+    nw = g // window
     kernel = functools.partial(
         _bin_bwd_kernel,
         tile_size=tile_size, ntx=ntx, num_tiles=num_tiles,
-        capacity=capacity, cg=cg,
+        capacity=capacity, cg=cg, nw=nw,
     )
     width = capacity + cg + _ALIGN
-    return pl.pallas_call(
-        kernel,
-        grid=(b * num_tiles,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nw, num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, f, g), lambda i: (i // num_tiles, 0, 0),
+                (1, f, window),
+                lambda bb, w, t, _base: (bb, 0, w),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, f, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, f, width),
+                lambda bb, w, t, _base: (bb * num_tiles + t, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, f, g), lambda i: (i // num_tiles, 0, 0), memory_space=pltpu.VMEM
+            (1, f, window),
+            lambda bb, w, t, _base: (bb, 0, w),
+            memory_space=pltpu.VMEM,
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, f, g), jnp.float32),
         interpret=interpret,
-    )(feat, dgdat)
+    )(bases.reshape(-1), feat, dgdat)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def bin_pallas(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def bin_pallas(feat, tile_size, ntx, num_tiles, capacity, cg, window, interpret):
     """feat: (B, F, G) depth-sorted, feature-major -> gdat (B*T, F, K+CG+ALIGN).
 
     Only the first `capacity` worklist columns are clean (overflow columns
     receive overlapping writes) — slice before compositing.
     """
     assert capacity % _ALIGN == 0, "capacity must be a multiple of 128"
-    return _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret)
+    nty = num_tiles // ntx
+    bases = window_bases(
+        jax.lax.stop_gradient(feat), tile_size, ntx, nty, window
+    )
+    return _fwd_call(
+        feat, bases, tile_size, ntx, num_tiles, capacity, cg, window, interpret
+    )
 
 
-def _vjp_fwd(feat, tile_size, ntx, num_tiles, capacity, cg, interpret):
-    out = _fwd_call(feat, tile_size, ntx, num_tiles, capacity, cg, interpret)
-    return out, feat
+def _vjp_fwd(feat, tile_size, ntx, num_tiles, capacity, cg, window, interpret):
+    nty = num_tiles // ntx
+    bases = window_bases(
+        jax.lax.stop_gradient(feat), tile_size, ntx, nty, window
+    )
+    out = _fwd_call(
+        feat, bases, tile_size, ntx, num_tiles, capacity, cg, window, interpret
+    )
+    return out, (feat, bases)
 
 
-def _vjp_bwd(tile_size, ntx, num_tiles, capacity, cg, interpret, feat, dgdat):
+def _vjp_bwd(tile_size, ntx, num_tiles, capacity, cg, window, interpret, res, dgdat):
+    feat, bases = res
     dfeat = _bwd_call(
-        feat, dgdat, tile_size, ntx, num_tiles, capacity, cg, interpret
+        feat, bases, dgdat, tile_size, ntx, num_tiles, capacity, cg, window,
+        interpret,
     )
     return (dfeat,)
 
@@ -281,10 +348,11 @@ def build_sorted_features(proj, feature=None):
 
 
 def tile_counts(feat: jnp.ndarray, tile_size: int, ntx: int, nty: int) -> jnp.ndarray:
-    """Per-tile coverage counts for overflow diagnostics (XLA reduce).
+    """Per-tile coverage counts for overflow diagnostics.
 
     feat: (B, F, G) feature-major -> (B, T) int32.
     """
+    b, _, g = feat.shape
     mx = feat[:, 0, :]
     my = feat[:, 1, :]
     r = feat[:, 5, :]
