@@ -76,6 +76,43 @@ class TestPallasComposite:
             np.asarray(pal.color), np.asarray(ref.color), atol=5e-5
         )
 
+    def test_hierarchical_binning_matches_reference(self):
+        """128x128 image -> 8x8 tiles triggers the two-level supertile path."""
+        extr, intr, near, far, bg = make_camera()
+        scene = random_scene(jax.random.PRNGKey(9), g=400)
+        cfg = RasterizeConfig(
+            mode="pallas", capacity=256, chunk=128, interpret=True,
+            supertile_capacity=256, bin_chunk=128,
+        )
+        ref = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=REF_CFG)
+        pal = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=cfg)
+        np.testing.assert_allclose(
+            np.asarray(pal.color), np.asarray(ref.color), atol=5e-5
+        )
+
+    def test_hierarchical_gradients(self):
+        extr, intr, near, far, bg = make_camera()
+        means, cov, sh, opac = random_scene(jax.random.PRNGKey(10), g=120)
+        cfg = RasterizeConfig(
+            mode="pallas", capacity=256, chunk=128, interpret=True,
+            supertile_capacity=256, bin_chunk=128,
+        )
+
+        def loss(c):
+            def fn(m, cv, s, o):
+                out = render(extr, intr, near, far, (128, 128), bg, m, cv, s, o, cfg=c)
+                w = jnp.cos(jnp.arange(out.color.size).reshape(out.color.shape) * 0.3)
+                return jnp.sum(out.color * w)
+
+            return fn
+
+        g_ref = jax.grad(loss(REF_CFG), argnums=(0, 1, 2, 3))(means, cov, sh, opac)
+        g_pal = jax.grad(loss(cfg), argnums=(0, 1, 2, 3))(means, cov, sh, opac)
+        for a, b_, name in zip(g_ref, g_pal, ["means", "cov", "sh", "opac"]):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=2e-3, atol=2e-4, err_msg=name
+            )
+
     def test_forward_with_background(self):
         extr, intr, near, far, _ = make_camera()
         bg = jnp.array([[0.2, 0.4, 0.6]])

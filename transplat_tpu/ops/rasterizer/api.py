@@ -36,6 +36,8 @@ class RasterizeConfig:
     binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
     stream_window: int = 16384  # Gaussians per binning-kernel grid window
+    supertile_capacity: int = 16384  # phase-1 worklist size (hierarchical bin)
+    bin_chunk: int = 512  # Gaussians per binning-kernel inner chunk
 
     def resolved_mode(self) -> str:
         if self.mode != "auto":
@@ -196,16 +198,25 @@ def render(
 
         # Pad the Gaussian stream to a whole number of kernel stream windows;
         # padding columns have radius 0 so they never cover a tile.
+        bcg = cfg.bin_chunk
         g_total = feat.shape[2]
-        window = max(cg, min(cfg.stream_window, -(-g_total // cg) * cg))
-        window = -(-window // cg) * cg  # multiple of cg
+        window = max(bcg, min(cfg.stream_window, -(-g_total // bcg) * bcg))
+        window = -(-window // bcg) * bcg  # multiple of bin_chunk
         pad = (-g_total) % window
         if pad:
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad)))
 
-        gdat = bin_pallas(
-            feat, ts, ntx, num_tiles, cfg.capacity, cg, window, cfg.interpret
-        )
+        if ntx % 4 == 0 and nty % 4 == 0 and num_tiles >= 64:
+            from .pallas_binning import bin_hierarchical
+
+            gdat = bin_hierarchical(
+                feat, ts, ntx, nty, cfg.capacity, bcg, window,
+                cfg.supertile_capacity, cfg.interpret,
+            )
+        else:
+            gdat = bin_pallas(
+                feat, ts, ntx, num_tiles, cfg.capacity, bcg, window, cfg.interpret
+            )
         from .pallas_binning import tile_counts
 
         counts = tile_counts(jax.lax.stop_gradient(feat), ts, ntx, nty)

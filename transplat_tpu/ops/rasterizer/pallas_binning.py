@@ -321,6 +321,197 @@ def _vjp_bwd(tile_size, ntx, num_tiles, capacity, cg, window, interpret, res, dg
 bin_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# --- Hierarchical (supertile) binning -------------------------------------
+#
+# Per-iteration overhead (~1us of small matmuls + predicated RMW) dominates
+# the single-level kernel: T x G/CG iterations = 131k at the flagship size.
+# Two levels cut this ~6x: phase 1 compacts the stream into (nty/4 x ntx/4)
+# 64px-supertile worklists; phase 2 compacts each supertile's worklist into
+# its 16 tiles. Depth order is preserved (each phase keeps stream order).
+# Phase 2 runs tiles in supertile-major order so its backward accumulates the
+# parent-worklist cotangent over consecutive grid steps; the caller permutes
+# the worklists back to raster order afterwards.
+
+
+def _phase2_tile_coords(j, sntx: int):
+    """Supertile-major program index j -> raster tile coords (tx, ty)."""
+    s = j // 16
+    wi = j % 16
+    tx = (s % sntx) * 4 + wi % 4
+    ty = (s // sntx) * 4 + wi // 4
+    return tx, ty
+
+
+def supertile_major_permutation(ntx: int, nty: int):
+    """Raster tile index for each supertile-major position (numpy, static)."""
+    import numpy as np
+
+    sntx = ntx // 4
+    out = np.empty(ntx * nty, np.int32)
+    for j in range(ntx * nty):
+        s, wi = divmod(j, 16)
+        tx = (s % sntx) * 4 + wi % 4
+        ty = (s // sntx) * 4 + wi // 4
+        out[j] = ty * ntx + tx
+    return out
+
+
+def _phase2_fwd_kernel(
+    parent_ref, gdat_ref,
+    *, tile_size: int, sntx: int, num_tiles: int, capacity: int, cg: int,
+):
+    j = pl.program_id(0) % num_tiles
+    tx, ty = _phase2_tile_coords(j, sntx)
+    gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
+    _window_pass(
+        parent_ref, gdat_ref, jnp.zeros((), jnp.int32),
+        tx.astype(jnp.float32), ty.astype(jnp.float32),
+        tile_size=tile_size, capacity=capacity, cg=cg, backward=False,
+    )
+
+
+def _phase2_bwd_kernel(
+    parent_ref, dgdat_ref, dparent_ref,
+    *, tile_size: int, sntx: int, num_tiles: int, capacity: int, cg: int,
+):
+    p = pl.program_id(0)  # b * num_supertiles + s
+    wi = pl.program_id(1)  # tile within supertile
+    s = p % (num_tiles // 16)
+    j = s * 16 + wi
+    tx, ty = _phase2_tile_coords(j, sntx)
+
+    @pl.when(wi == 0)
+    def _():
+        dparent_ref[0] = jnp.zeros_like(dparent_ref[0])
+
+    _window_pass(
+        parent_ref, dgdat_ref, jnp.zeros((), jnp.int32),
+        tx.astype(jnp.float32), ty.astype(jnp.float32),
+        tile_size=tile_size, capacity=capacity, cg=cg, backward=True,
+        dfeat_ref=dparent_ref,
+    )
+
+
+def _phase2_fwd_call(parents, tile_size, sntx, num_tiles, capacity, cg, interpret):
+    bs, f, k1 = parents.shape  # (B * num_supertiles, F, K1)
+    nsup = num_tiles // 16
+    b = bs // nsup
+    kernel = functools.partial(
+        _phase2_fwd_kernel,
+        tile_size=tile_size, sntx=sntx, num_tiles=num_tiles,
+        capacity=capacity, cg=cg,
+    )
+    width = capacity + cg + _ALIGN
+    return pl.pallas_call(
+        kernel,
+        grid=(b * num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f, k1),
+                lambda i: ((i // num_tiles) * (num_tiles // 16)
+                           + (i % num_tiles) // 16, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * num_tiles, f, width), jnp.float32),
+        interpret=interpret,
+    )(parents)
+
+
+def _phase2_bwd_call(parents, dgdat, tile_size, sntx, num_tiles, capacity, cg, interpret):
+    bs, f, k1 = parents.shape
+    kernel = functools.partial(
+        _phase2_bwd_kernel,
+        tile_size=tile_size, sntx=sntx, num_tiles=num_tiles,
+        capacity=capacity, cg=cg,
+    )
+    width = capacity + cg + _ALIGN
+    return pl.pallas_call(
+        kernel,
+        grid=(bs, 16),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f, k1), lambda p, wi: (p, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, f, width),
+                lambda p, wi: (p * 16 + wi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, k1), lambda p, wi: (p, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, f, k1), jnp.float32),
+        interpret=interpret,
+    )(parents, dgdat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _phase2(parents, tile_size, sntx, num_tiles, capacity, cg, interpret):
+    return _phase2_fwd_call(
+        parents, tile_size, sntx, num_tiles, capacity, cg, interpret
+    )
+
+
+def _phase2_vjp_fwd(parents, tile_size, sntx, num_tiles, capacity, cg, interpret):
+    out = _phase2_fwd_call(
+        parents, tile_size, sntx, num_tiles, capacity, cg, interpret
+    )
+    return out, parents
+
+
+def _phase2_vjp_bwd(tile_size, sntx, num_tiles, capacity, cg, interpret, parents, dgdat):
+    return (
+        _phase2_bwd_call(
+            parents, dgdat, tile_size, sntx, num_tiles, capacity, cg, interpret
+        ),
+    )
+
+
+_phase2.defvjp(_phase2_vjp_fwd, _phase2_vjp_bwd)
+
+
+def bin_hierarchical(
+    feat: jnp.ndarray,  # (B, F, G) depth-sorted, feature-major
+    tile_size: int,
+    ntx: int,
+    nty: int,
+    capacity: int,
+    cg: int,
+    window: int,
+    supertile_capacity: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Two-level binning -> gdat (B*T, F, K+CG+ALIGN) in RASTER tile order."""
+    assert ntx % 4 == 0 and nty % 4 == 0
+    assert supertile_capacity % cg == 0 and supertile_capacity % _ALIGN == 0
+    sntx, snty = ntx // 4, nty // 4
+    num_supertiles = sntx * snty
+    num_tiles = ntx * nty
+    b = feat.shape[0]
+
+    sup = bin_pallas(
+        feat, tile_size * 4, sntx, num_supertiles, supertile_capacity, cg,
+        window, interpret,
+    )  # (B * S, F, K1 + cg + ALIGN)
+    parents = sup[:, :, :supertile_capacity]
+
+    gdat = _phase2(
+        parents, tile_size, sntx, num_tiles, capacity, cg, interpret
+    )  # supertile-major tile order
+
+    perm = jnp.asarray(supertile_major_permutation(ntx, nty))
+    # Invert: raster position r holds the worklist from supertile-major slot.
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=jnp.int32))
+    batch_offsets = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[:, None]
+    gather_idx = (batch_offsets + inv[None, :]).reshape(-1)
+    return gdat[gather_idx]
+
+
 def build_sorted_features(proj, feature=None):
     """Projected Gaussians -> depth-sorted (F, G) feature-major rows."""
     color = proj.rgb if feature is None else feature

@@ -49,6 +49,53 @@ class Trainer:
         self.ckpt = CheckpointManager(
             cfg.checkpointing.save_dir, cfg.checkpointing.every_n_train_steps
         )
+        self._val_fn = None
+
+    def validate(self, state, batch, out_dir: str = "outputs/local") -> dict:
+        """Render a validation batch and save a context | GT | prediction grid
+        (the LocalLogger media path, model_wrapper.py:532-613)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..evaluation.metrics import compute_psnr
+        from ..model.decoder import decode_splatting
+        from ..model.encoder import EncoderTranSplat
+        from ..utils.image_io import save_image
+        from ..visualization.layout import add_label, hcat, vcat
+
+        if self._val_fn is None:
+            model = EncoderTranSplat(self.cfg.encoder)
+            image_shape = tuple(self.cfg.dataset.image_shape)
+
+            def fn(params, batch_stats, ctx, tgt):
+                variables = {"params": params, "batch_stats": batch_stats}
+                gaussians = model.apply(
+                    variables, ctx["image"], ctx["intrinsics"], ctx["extrinsics"],
+                    ctx["near"], ctx["far"],
+                )
+                return decode_splatting(
+                    gaussians, tgt["extrinsics"], tgt["intrinsics"],
+                    tgt["near"], tgt["far"], image_shape, cfg=self.cfg.decoder,
+                ).color
+
+            self._val_fn = jax.jit(fn)
+
+        ctx = {k: jnp.asarray(v) for k, v in batch["context"].items() if k != "index"}
+        tgt = {k: jnp.asarray(v) for k, v in batch["target"].items() if k != "index"}
+        color = self._val_fn(state.params, state.batch_stats, ctx, tgt)
+        psnr = float(jnp.mean(compute_psnr(tgt["image"].reshape(-1, *tgt["image"].shape[-3:]),
+                                           color.reshape(-1, *color.shape[-3:]))))
+
+        context_row = hcat(*[np.asarray(ctx["image"][0, i]) for i in range(ctx["image"].shape[1])])
+        gt_row = hcat(*[np.asarray(tgt["image"][0, i]) for i in range(tgt["image"].shape[1])])
+        pred_row = hcat(*[np.asarray(color[0, i]) for i in range(color.shape[1])])
+        grid = vcat(
+            add_label(context_row, "context"),
+            add_label(gt_row, "target (gt)"),
+            add_label(pred_row, f"prediction (psnr {psnr:.2f})"),
+        )
+        save_image(grid, Path(out_dir) / f"validation_{self.global_step:08d}.png")
+        return {"val_psnr": psnr}
 
     def make_dataset(self, stage: str = "train"):
         sampler = ViewSamplerBounded(self.cfg.view_sampler, stage=stage)
