@@ -81,16 +81,13 @@ def _chunk_plan(sl, tx, ty, tile_size: int, cg: int, tri, eye):
         mask_l, tri, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # Lane -> sublane via identity matmul.
-    mask_s = jax.lax.dot_general(
-        eye, mask_l, dimension_numbers=(((1,), (1,)), ((), ())),
+    # Lane -> sublane via one fused identity matmul: (CG, 2) = eye @ [mask; excl]^T.
+    both = jnp.concatenate([mask_l, excl_l], axis=0)  # (2, CG)
+    both_s = jax.lax.dot_general(
+        eye, both, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    excl_s = jax.lax.dot_general(
-        eye, excl_l, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return mask_s, excl_s, jnp.sum(mask_l)
+    )  # (CG, 2)
+    return both_s[:, 0:1], both_s[:, 1:2], jnp.sum(mask_l)
 
 
 def _window_pass(
