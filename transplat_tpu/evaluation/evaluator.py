@@ -110,9 +110,44 @@ class Evaluator:
                     save_image(
                         color[0, t], out_dir / scene / f"color/{t:04d}.png"
                     )
+            if cfg.test.save_video:
+                self.render_video(batch, out_dir / scene / "video.mp4")
 
         self.finalize(out_dir)
         return self.scores
+
+    def render_video(self, batch: dict, path, num_frames: int = 30) -> None:
+        """Wobble-trajectory video from the first context view
+        (model_wrapper.py:713-790 equivalent)."""
+        import numpy as np
+
+        from ..utils.image_io import save_video
+        from ..visualization.trajectory import generate_wobble, interpolate_intrinsics
+
+        ctx = batch["context"]
+        gaussians = self._encode(
+            jnp.asarray(ctx["image"]),
+            jnp.asarray(ctx["intrinsics"]),
+            jnp.asarray(ctx["extrinsics"]),
+            jnp.asarray(ctx["near"]),
+            jnp.asarray(ctx["far"]),
+        )
+        extr = np.asarray(ctx["extrinsics"][0])
+        delta = np.linalg.norm(extr[0, :3, 3] - extr[-1, :3, 3]) * 0.25 + 1e-3
+        t = np.linspace(0, 1, num_frames)
+        cams = generate_wobble(extr[0], np.asarray(delta), t)  # (T, 4, 4)
+        intr = np.repeat(np.asarray(ctx["intrinsics"][0, :1]), num_frames, 0)
+        near = np.full((1, num_frames), float(ctx["near"][0, 0]), np.float32)
+        far = np.full((1, num_frames), float(ctx["far"][0, 0]), np.float32)
+        color = self._decode(
+            gaussians,
+            jnp.asarray(cams)[None],
+            jnp.asarray(intr)[None],
+            jnp.asarray(near),
+            jnp.asarray(far),
+        )
+        frames = [np.asarray(color[0, i]) for i in range(num_frames)]
+        save_video(frames, path)
 
     def finalize(self, out_dir: Path):
         if not self.scores:

@@ -225,7 +225,9 @@ def render(
         ).astype(jnp.int32)
 
         acc, tfin = composite_pallas(
-            gdat[:, :, : cfg.capacity], ts, ntx, num_tiles, cfg.chunk, cfg.interpret
+            gdat[:, :, : cfg.capacity],
+            jnp.minimum(counts, cfg.capacity).reshape(-1),
+            ts, ntx, num_tiles, cfg.chunk, cfg.interpret,
         )
         p = ts * ts
         c_out = 3 if feature is None else feature.shape[-1]

@@ -93,11 +93,12 @@ def _chunk_plan(sl, tx, ty, tile_size: int, cg: int, tri, eye):
 def _window_pass(
     sl_window_ref, gdat_like_ref, base0, tx, ty,
     *, tile_size: int, capacity: int, cg: int, backward: bool,
-    dfeat_ref=None,
+    dfeat_ref=None, num_chunks=None,
 ):
     """Shared fwd/bwd sweep over one feature window."""
     width = sl_window_ref.shape[2]
-    num_chunks = width // cg
+    if num_chunks is None:
+        num_chunks = width // cg
     tri, eye, oh_cols = _constants(cg)
 
     def body(ci, base):
@@ -354,21 +355,27 @@ def supertile_major_permutation(ntx: int, nty: int):
 
 
 def _phase2_fwd_kernel(
-    parent_ref, gdat_ref,
+    counts_ref, parent_ref, gdat_ref,
     *, tile_size: int, sntx: int, num_tiles: int, capacity: int, cg: int,
 ):
-    j = pl.program_id(0) % num_tiles
+    i = pl.program_id(0)
+    j = i % num_tiles
     tx, ty = _phase2_tile_coords(j, sntx)
     gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
+    k1 = parent_ref.shape[2]
+    nsup = num_tiles // 16
+    sup_index = (i // num_tiles) * nsup + (j // 16)
+    count = jnp.minimum(counts_ref[sup_index], k1)
     _window_pass(
         parent_ref, gdat_ref, jnp.zeros((), jnp.int32),
         tx.astype(jnp.float32), ty.astype(jnp.float32),
         tile_size=tile_size, capacity=capacity, cg=cg, backward=False,
+        num_chunks=(count + cg - 1) // cg,
     )
 
 
 def _phase2_bwd_kernel(
-    parent_ref, dgdat_ref, dparent_ref,
+    counts_ref, parent_ref, dgdat_ref, dparent_ref,
     *, tile_size: int, sntx: int, num_tiles: int, capacity: int, cg: int,
 ):
     p = pl.program_id(0)  # b * num_supertiles + s
@@ -381,15 +388,18 @@ def _phase2_bwd_kernel(
     def _():
         dparent_ref[0] = jnp.zeros_like(dparent_ref[0])
 
+    k1 = parent_ref.shape[2]
+    count = jnp.minimum(counts_ref[p], k1)
     _window_pass(
         parent_ref, dgdat_ref, jnp.zeros((), jnp.int32),
         tx.astype(jnp.float32), ty.astype(jnp.float32),
         tile_size=tile_size, capacity=capacity, cg=cg, backward=True,
         dfeat_ref=dparent_ref,
+        num_chunks=(count + cg - 1) // cg,
     )
 
 
-def _phase2_fwd_call(parents, tile_size, sntx, num_tiles, capacity, cg, interpret):
+def _phase2_fwd_call(parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret):
     bs, f, k1 = parents.shape  # (B * num_supertiles, F, K1)
     nsup = num_tiles // 16
     b = bs // nsup
@@ -399,26 +409,30 @@ def _phase2_fwd_call(parents, tile_size, sntx, num_tiles, capacity, cg, interpre
         capacity=capacity, cg=cg,
     )
     width = capacity + cg + _ALIGN
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b * num_tiles,),
         in_specs=[
             pl.BlockSpec(
                 (1, f, k1),
-                lambda i: ((i // num_tiles) * (num_tiles // 16)
-                           + (i % num_tiles) // 16, 0, 0),
+                lambda i, _c: ((i // num_tiles) * (num_tiles // 16)
+                               + (i % num_tiles) // 16, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, f, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, f, width), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * num_tiles, f, width), jnp.float32),
         interpret=interpret,
-    )(parents)
+    )(counts, parents)
 
 
-def _phase2_bwd_call(parents, dgdat, tile_size, sntx, num_tiles, capacity, cg, interpret):
+def _phase2_bwd_call(parents, counts, dgdat, tile_size, sntx, num_tiles, capacity, cg, interpret):
     bs, f, k1 = parents.shape
     kernel = functools.partial(
         _phase2_bwd_kernel,
@@ -426,46 +440,53 @@ def _phase2_bwd_call(parents, dgdat, tile_size, sntx, num_tiles, capacity, cg, i
         capacity=capacity, cg=cg,
     )
     width = capacity + cg + _ALIGN
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bs, 16),
         in_specs=[
             pl.BlockSpec(
-                (1, f, k1), lambda p, wi: (p, 0, 0), memory_space=pltpu.VMEM
+                (1, f, k1), lambda p, wi, _c: (p, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, f, width),
-                lambda p, wi: (p * 16 + wi, 0, 0),
+                lambda p, wi, _c: (p * 16 + wi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, f, k1), lambda p, wi: (p, 0, 0), memory_space=pltpu.VMEM
+            (1, f, k1), lambda p, wi, _c: (p, 0, 0), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bs, f, k1), jnp.float32),
         interpret=interpret,
-    )(parents, dgdat)
+    )(counts, parents, dgdat)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def _phase2(parents, tile_size, sntx, num_tiles, capacity, cg, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _phase2(parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret):
     return _phase2_fwd_call(
-        parents, tile_size, sntx, num_tiles, capacity, cg, interpret
+        parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret
     )
 
 
-def _phase2_vjp_fwd(parents, tile_size, sntx, num_tiles, capacity, cg, interpret):
+def _phase2_vjp_fwd(parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret):
     out = _phase2_fwd_call(
-        parents, tile_size, sntx, num_tiles, capacity, cg, interpret
+        parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret
     )
-    return out, parents
+    return out, (parents, counts)
 
 
-def _phase2_vjp_bwd(tile_size, sntx, num_tiles, capacity, cg, interpret, parents, dgdat):
+def _phase2_vjp_bwd(tile_size, sntx, num_tiles, capacity, cg, interpret, res, dgdat):
+    parents, counts = res
     return (
         _phase2_bwd_call(
-            parents, dgdat, tile_size, sntx, num_tiles, capacity, cg, interpret
+            parents, counts, dgdat, tile_size, sntx, num_tiles, capacity, cg,
+            interpret,
         ),
+        None,
     )
 
 
@@ -497,8 +518,12 @@ def bin_hierarchical(
     )  # (B * S, F, K1 + cg + ALIGN)
     parents = sup[:, :, :supertile_capacity]
 
+    sup_counts = tile_counts(
+        jax.lax.stop_gradient(feat), tile_size * 4, sntx, snty
+    ).reshape(-1)  # (B * S,)
+
     gdat = _phase2(
-        parents, tile_size, sntx, num_tiles, capacity, cg, interpret
+        parents, sup_counts, tile_size, sntx, num_tiles, capacity, cg, interpret
     )  # supertile-major tile order
 
     perm = jnp.asarray(supertile_major_permutation(ntx, nty))

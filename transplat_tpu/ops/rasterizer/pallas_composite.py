@@ -81,12 +81,16 @@ def _chunk_alpha(sl, px, py):
 
 
 def _composite_fwd_kernel(
-    gdat_ref, acc_ref, tfin_ref, *, tile_size: int, ntx: int, num_tiles: int, chunk: int
+    counts_ref, gdat_ref, acc_ref, tfin_ref,
+    *, tile_size: int, ntx: int, num_tiles: int, chunk: int,
 ):
     p = tile_size * tile_size
     k = gdat_ref.shape[2]
-    num_chunks = k // chunk
-    tile = pl.program_id(0) % num_tiles  # batch is folded into the grid
+    i = pl.program_id(0)
+    # Dynamic trip count: skip the all-empty tail of the worklist.
+    count = jnp.minimum(counts_ref[i], k)
+    num_chunks = (count + chunk - 1) // chunk
+    tile = i % num_tiles  # batch is folded into the grid
     px, py = _pixel_coords(tile, tile_size, ntx, p)
 
     def body(ci, carry):
@@ -115,14 +119,19 @@ def _composite_fwd_kernel(
 
 
 def _composite_bwd_kernel(
-    gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
+    counts_ref, gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
     *, tile_size: int, ntx: int, num_tiles: int, chunk: int,
 ):
     p = tile_size * tile_size
     k = gdat_ref.shape[2]
-    num_chunks = k // chunk
-    tile = pl.program_id(0) % num_tiles
+    i = pl.program_id(0)
+    count = jnp.minimum(counts_ref[i], k)
+    num_chunks = (count + chunk - 1) // chunk
+    tile = i % num_tiles
     px, py = _pixel_coords(tile, tile_size, ntx, p)
+
+    # The untouched tail must still produce zero gradients.
+    dgdat_ref[0] = jnp.zeros_like(dgdat_ref[0])
 
     g = gacc_ref[0]  # (P, 8) cotangent of acc
     g_tfin = gtfin_ref[0].reshape(p, 1)
@@ -194,32 +203,38 @@ def _composite_bwd_kernel(
     jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
 
 
-def _fwd_call(gdat, tile_size, ntx, num_tiles, chunk, interpret):
+def _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_fwd_kernel,
         tile_size=tile_size, ntx=ntx, num_tiles=num_tiles, chunk=chunk,
     )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bt,),
         in_specs=[
-            pl.BlockSpec((1, f, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, f, k), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=(
-            pl.BlockSpec((1, p, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((bt, p, 8), jnp.float32),
             jax.ShapeDtypeStruct((bt, 1, p), jnp.float32),
         ),
         interpret=interpret,
-    )(gdat)
+    )(counts, gdat)
 
 
-def _bwd_call(gdat, gacc, gtfin, accres, tfinres, tile_size, ntx, num_tiles, chunk, interpret):
+def _bwd_call(gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, num_tiles, chunk, interpret):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
@@ -229,37 +244,46 @@ def _bwd_call(gdat, gacc, gtfin, accres, tfinres, tile_size, ntx, num_tiles, chu
 
     def spec(shape):
         return pl.BlockSpec(
-            (1, *shape), lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
+            (1, *shape), lambda i, _c: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
         )
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bt,),
+        in_specs=[
+            spec((f, k)), spec((p, 8)), spec((1, p)), spec((p, 8)), spec((1, p))
+        ],
+        out_specs=spec((f, k)),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(bt,),
-        in_specs=[spec((f, k)), spec((p, 8)), spec((1, p)), spec((p, 8)), spec((1, p))],
-        out_specs=spec((f, k)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bt, f, k), jnp.float32),
         interpret=interpret,
-    )(gdat, gacc, gtfin, accres, tfinres)
+    )(counts, gdat, gacc, gtfin, accres, tfinres)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def composite_pallas(gdat, tile_size, ntx, num_tiles, chunk, interpret):
-    """gdat: (B*T, F, K) -> (acc (B*T, P, 8), t_final (B*T, 1, P))."""
-    return _fwd_call(gdat, tile_size, ntx, num_tiles, chunk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def composite_pallas(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
+    """gdat: (B*T, F, K), counts: (B*T,) int32 worklist lengths
+    -> (acc (B*T, P, 8), t_final (B*T, 1, P))."""
+    return _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret)
 
 
-def _vjp_fwd(gdat, tile_size, ntx, num_tiles, chunk, interpret):
-    acc, tfin = _fwd_call(gdat, tile_size, ntx, num_tiles, chunk, interpret)
-    return (acc, tfin), (gdat, acc, tfin)
+def _vjp_fwd(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
+    acc, tfin = _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret)
+    return (acc, tfin), (gdat, counts, acc, tfin)
 
 
 def _vjp_bwd(tile_size, ntx, num_tiles, chunk, interpret, residuals, cotangents):
-    gdat, acc, tfin = residuals
+    gdat, counts, acc, tfin = residuals
     gacc, gtfin = cotangents
     dgdat = _bwd_call(
-        gdat, gacc, gtfin, acc, tfin, tile_size, ntx, num_tiles, chunk, interpret
+        gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, num_tiles, chunk,
+        interpret,
     )
-    return (dgdat,)
+    return (dgdat, None)
 
 
 composite_pallas.defvjp(_vjp_fwd, _vjp_bwd)

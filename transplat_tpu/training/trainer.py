@@ -130,7 +130,10 @@ class Trainer:
         )
         restored = self.ckpt.restore(state)
         if restored is not None:
-            state = restored
+            # Restored arrays land on a single device; re-replicate over the mesh.
+            from ..parallel.mesh import replicated
+
+            state = jax.device_put(restored, replicated(self.mesh))
             self.global_step = int(state.step)
             self.log(f"resumed from step {self.global_step}")
 
