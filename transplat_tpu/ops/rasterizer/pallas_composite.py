@@ -287,57 +287,3 @@ def _vjp_bwd(tile_size, ntx, num_tiles, chunk, interpret, residuals, cotangents)
 
 
 composite_pallas.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-def build_gdat(proj, tiles, feature=None):
-    """Gather per-tile worklist features into (T, F, K) feature-major layout."""
-    color_all = proj.rgb if feature is None else feature
-    c = color_all.shape[-1]
-    assert c <= 8
-    opacity_all = jnp.where(proj.valid, proj.opacity, 0.0)
-    idx = tiles.indices
-    msk = tiles.mask
-    mean2d = proj.mean2d[idx]
-    conic = proj.conic[idx]
-    rows = [
-        mean2d[..., 0],
-        mean2d[..., 1],
-        conic[..., 0],
-        conic[..., 1],
-        conic[..., 2],
-        proj.radius[idx],
-        jnp.where(msk, opacity_all[idx], 0.0),
-    ]
-    col = color_all[idx]
-    rows.extend(col[..., i] for i in range(c))
-    rows.extend(jnp.zeros_like(rows[0]) for _ in range(F - 7 - c))
-    return jnp.stack(rows, axis=1)  # (T, F, K)
-
-
-def composite_batched_pallas(
-    gdat: jnp.ndarray,  # (B, T, F, K)
-    background: jnp.ndarray,  # (B, C)
-    image_shape: tuple[int, int],
-    num_tiles_x: int,
-    num_tiles_y: int,
-    num_channels: int = 3,
-    tile_size: int = 16,
-    chunk: int = 128,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """(B, T, F, K) worklists -> (B, h, w, C) images."""
-    b, t, f, k = gdat.shape
-    h, w = image_shape
-    c = num_channels
-    acc, tfin = composite_pallas(
-        gdat.reshape(b * t, f, k), tile_size, num_tiles_x, t, chunk, interpret
-    )
-    p = tile_size * tile_size
-    acc = acc.reshape(b, t, p, 8)[..., :c]
-    tfin = tfin.reshape(b, t, p)
-    out = acc + tfin[..., None] * background[:, None, None, :]
-    out = out.reshape(b, num_tiles_y, num_tiles_x, tile_size, tile_size, c)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-        b, num_tiles_y * tile_size, num_tiles_x * tile_size, c
-    )
-    return out[:, :h, :w]
