@@ -97,6 +97,15 @@ class Trainer:
         save_image(grid, Path(out_dir) / f"validation_{self.global_step:08d}.png")
         return {"val_psnr": psnr}
 
+    def _log_metrics(self, record: dict, path: str = "outputs/metrics.jsonl") -> None:
+        """Append-only JSONL metric log (the wandb-less observability path)."""
+        import json
+
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with open(p, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def make_dataset(self, stage: str = "train"):
         sampler = ViewSamplerBounded(self.cfg.view_sampler, stage=stage)
         return ChunkDataset(
@@ -160,6 +169,7 @@ class Trainer:
                     f"step {self.global_step}: loss={metrics['loss']:.4f} "
                     f"psnr={metrics.get('psnr', 0):.2f} ({dt / 50:.3f}s/it)"
                 )
+                self._log_metrics({"step": self.global_step, "s_per_it": dt / 50, **metrics})
             self.ckpt.maybe_save(self.global_step, state)
 
             try:
