@@ -9,6 +9,7 @@ exactly so converted weights stay numerically faithful:
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -62,40 +63,41 @@ def grid_sample(
     )
 
 
+def _resize_weights(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """Static (n_out, n_in) bilinear interpolation matrix."""
+    if align_corners:
+        pos = (
+            np.linspace(0.0, n_in - 1.0, n_out)
+            if n_out > 1
+            else np.zeros((1,))
+        )
+    else:
+        pos = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        pos = np.clip(pos, 0.0, n_in - 1.0)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    frac = (pos - i0).astype(np.float32)
+    w_mat = np.zeros((n_out, n_in), np.float32)
+    w_mat[np.arange(n_out), i0] += 1.0 - frac
+    w_mat[np.arange(n_out), i1] += frac
+    return w_mat
+
+
 def resize_bilinear(
     x: jnp.ndarray, out_shape: tuple[int, int], align_corners: bool = True
 ) -> jnp.ndarray:
-    """Resize (..., H, W, C) -> (..., h2, w2, C), torch F.interpolate semantics."""
+    """Resize (..., H, W, C) -> (..., h2, w2, C), torch F.interpolate semantics.
+
+    Separable: two matmuls with static interpolation matrices (MXU work, no
+    gathers — TPU scalar gathers run at ~40M/s).
+    """
     *batch, h, w, c = x.shape
     h2, w2 = out_shape
-    if align_corners:
-        ys = jnp.linspace(0.0, h - 1.0, h2) if h2 > 1 else jnp.zeros((1,))
-        xs = jnp.linspace(0.0, w - 1.0, w2) if w2 > 1 else jnp.zeros((1,))
-    else:
-        ys = (jnp.arange(h2) + 0.5) * (h / h2) - 0.5
-        xs = (jnp.arange(w2) + 0.5) * (w / w2) - 0.5
-        ys = jnp.clip(ys, 0.0, h - 1.0)
-        xs = jnp.clip(xs, 0.0, w - 1.0)
-
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[:, None, None]  # (h2, 1, 1)
-    wx = (xs - x0)[None, :, None]  # (1, w2, 1)
-
-    xf = x.reshape(-1, h, w, c)
-    r0 = xf[:, y0][:, :, x0]  # (N, h2, w2, C)
-    r1 = xf[:, y0][:, :, x1]
-    r2 = xf[:, y1][:, :, x0]
-    r3 = xf[:, y1][:, :, x1]
-    out = (
-        r0 * (1 - wy) * (1 - wx)
-        + r1 * (1 - wy) * wx
-        + r2 * wy * (1 - wx)
-        + r3 * wy * wx
-    )
-    return out.reshape(*batch, h2, w2, c)
+    wh = jnp.asarray(_resize_weights(h, h2, align_corners))
+    ww = jnp.asarray(_resize_weights(w, w2, align_corners))
+    out = jnp.einsum("ih,...hwc->...iwc", wh, x)
+    out = jnp.einsum("jw,...iwc->...ijc", ww, out)
+    return out
 
 
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
