@@ -27,11 +27,14 @@ def main():
     parser.add_argument("--output", default=None)
     parser.add_argument("--dp", type=int, default=None, help="data-parallel size")
     parser.add_argument("--sp", type=int, default=1, help="splat-parallel size")
+    parser.add_argument("--dataset-root", default=None)
     args = parser.parse_args()
 
     from .config import load_config
 
     cfg = load_config(args.experiment, yaml_path=args.config)
+    if args.dataset_root:
+        cfg.dataset.roots = [args.dataset_root]
     if args.evaluation_index:
         cfg.test.evaluation_index = args.evaluation_index
     if args.checkpoint:
