@@ -60,7 +60,7 @@ def main():
     bg = jnp.zeros((b, 3))
 
     cfg = RasterizeConfig(
-        capacity=1024, chunk=256, bin_chunk=512, supertile_capacity=16384
+        capacity=1024, chunk=256, bin_chunk=256, supertile_capacity=16384
     )
 
     def loss_fn(means, cov, sh, opac):

@@ -23,7 +23,9 @@ def relative_pose(extrinsics_ref: jnp.ndarray, extrinsics_tgt: jnp.ndarray) -> j
 
     extrinsics are camera-to-world (..., 4, 4). Returns (..., 4, 4).
     """
-    return jnp.linalg.inv(extrinsics_tgt) @ extrinsics_ref
+    return jnp.matmul(
+        jnp.linalg.inv(extrinsics_tgt), extrinsics_ref, precision="highest"
+    )
 
 
 def pixel_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -54,13 +56,13 @@ def epipolar_sample_grid(
              (w-1, h-1); out-of-frustum points land outside [0, 1].
     """
     grid = pixel_grid(h, w, dtype=depths.dtype)  # (3, HW)
-    rays = jnp.einsum("...ij,jn->...in", jnp.linalg.inv(intrinsics_px), grid)
-    rays = jnp.einsum("...ij,...jn->...in", rel_pose[..., :3, :3], rays)
+    rays = jnp.einsum("...ij,jn->...in", jnp.linalg.inv(intrinsics_px), grid, precision="highest")
+    rays = jnp.einsum("...ij,...jn->...in", rel_pose[..., :3, :3], rays, precision="highest")
     # (..., 3, D, HW): scale rotated rays by each depth candidate, translate.
     points = rays[..., :, None, :] * depths[..., None, :, None]
     points = points + rel_pose[..., :3, 3:4][..., None, :]
     # Re-project with intrinsics.
-    points = jnp.einsum("...ij,...jdn->...idn", intrinsics_px, points)
+    points = jnp.einsum("...ij,...jdn->...idn", intrinsics_px, points, precision="highest")
     z = jnp.maximum(points[..., 2:3, :, :], clamp_min_depth)
     xy = points[..., :2, :, :] / z  # (..., 2, D, HW)
     x01 = xy[..., 0, :, :] / (w - 1)

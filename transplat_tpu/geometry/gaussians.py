@@ -34,7 +34,7 @@ def build_covariance(scale: jnp.ndarray, rotation_xyzw: jnp.ndarray) -> jnp.ndar
     """Covariance = R diag(s^2) R^T for (..., 3) scales, (..., 4) quats."""
     rotation = quaternion_to_matrix(rotation_xyzw)
     scaled = rotation * (scale**2)[..., None, :]
-    return jnp.einsum("...ik,...jk->...ij", scaled, rotation)
+    return jnp.einsum("...ik,...jk->...ij", scaled, rotation, precision="highest")
 
 
 def covariance_upper_triangle(covariances: jnp.ndarray) -> jnp.ndarray:

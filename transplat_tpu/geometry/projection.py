@@ -28,7 +28,7 @@ def homogenize_vectors(vectors: jnp.ndarray) -> jnp.ndarray:
 
 def transform_rigid(coords: jnp.ndarray, transformation: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., d, d) transform to (..., d) homogeneous coords."""
-    return jnp.einsum("...ij,...j->...i", transformation, coords)
+    return jnp.einsum("...ij,...j->...i", transformation, coords, precision="highest")
 
 
 def transform_cam2world(coords: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +49,7 @@ def project_camera_space(
     z = points[..., -1:]
     points = points / (z + epsilon)
     points = jnp.nan_to_num(points, posinf=infinity, neginf=-infinity)
-    points = jnp.einsum("...ij,...j->...i", intrinsics, points)
+    points = jnp.einsum("...ij,...j->...i", intrinsics, points, precision="highest")
     return points[..., :-1]
 
 
@@ -74,7 +74,8 @@ def unproject(
     """Normalized image xy + depth -> camera-space xyz."""
     coordinates = homogenize_points(coordinates)
     directions = jnp.einsum(
-        "...ij,...j->...i", jnp.linalg.inv(intrinsics), coordinates
+        "...ij,...j->...i", jnp.linalg.inv(intrinsics), coordinates,
+        precision="highest"
     )
     return directions * z[..., None]
 
@@ -121,7 +122,7 @@ def get_fov(intrinsics: jnp.ndarray) -> jnp.ndarray:
     intrinsics_inv = jnp.linalg.inv(intrinsics)
 
     def ray(v):
-        vec = jnp.einsum("...ij,j->...i", intrinsics_inv, jnp.asarray(v, dtype=intrinsics.dtype))
+        vec = jnp.einsum("...ij,j->...i", intrinsics_inv, jnp.asarray(v, dtype=intrinsics.dtype), precision="highest")
         return vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
 
     left, right = ray([0.0, 0.5, 1.0]), ray([1.0, 0.5, 1.0])

@@ -140,7 +140,7 @@ def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     degree = int(np.sqrt(n)) - 1
     basis = [sh_basis(l, dirs) for l in range(degree + 1)]
     basis = jnp.concatenate(basis, axis=-1)  # (..., n)
-    return jnp.einsum("...cn,...n->...c", sh, basis)
+    return jnp.einsum("...cn,...n->...c", sh, basis, precision="highest")
 
 
 # --- SH rotation: exact Ivanic-Ruedenberg recursion (with published errata) --
@@ -267,5 +267,5 @@ def rotate_sh(sh: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
     out = []
     for l in range(degree + 1):
         block = sh[..., l**2 : (l + 1) ** 2]
-        out.append(jnp.einsum("...ij,...j->...i", mats[l], block))
+        out.append(jnp.einsum("...ij,...j->...i", mats[l], block, precision="highest"))
     return jnp.concatenate(out, axis=-1)

@@ -64,7 +64,7 @@ def adapt_gaussians(
     scales = smin + (smax - smin) * jax.nn.sigmoid(scales)
     pixel_size = jnp.asarray([1.0 / w, 1.0 / h], scales.dtype)
     k2x2_inv = jnp.linalg.inv(intrinsics[..., :2, :2])
-    multiplier = 0.1 * jnp.einsum("...ij,j->...i", k2x2_inv, pixel_size).sum(-1)
+    multiplier = 0.1 * jnp.einsum("...ij,j->...i", k2x2_inv, pixel_size, precision="highest").sum(-1)
     scales = scales * depths[..., None] * multiplier[..., None, None]
 
     rotations = rotations / (
@@ -75,7 +75,11 @@ def adapt_gaussians(
 
     covariances = build_covariance(scales, rotations)
     c2w_rot = extrinsics[..., None, :3, :3]  # broadcast over r
-    covariances = c2w_rot @ covariances @ jnp.swapaxes(c2w_rot, -1, -2)
+    covariances = jnp.matmul(
+        jnp.matmul(c2w_rot, covariances, precision="highest"),
+        jnp.swapaxes(c2w_rot, -1, -2),
+        precision="highest",
+    )
 
     origins, directions = get_world_rays(
         coordinates, extrinsics[:, :, None], intrinsics[:, :, None]

@@ -37,7 +37,7 @@ class RasterizeConfig:
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
     stream_window: int = 16384  # Gaussians per binning-kernel grid window
     supertile_capacity: int = 16384  # phase-1 worklist size (hierarchical bin)
-    bin_chunk: int = 512  # Gaussians per binning-kernel inner chunk
+    bin_chunk: int = 256  # Gaussians per binning inner chunk (<=256: exact bf16)
 
     def resolved_mode(self) -> str:
         if self.mode != "auto":
@@ -166,7 +166,11 @@ def render(
     """Render batched views of batched Gaussian sets. Returns (B, h, w, C)."""
     mode = cfg.resolved_mode()
     if mode == "pallas":
-        from .pallas_binning import bin_pallas, build_sorted_features
+        from .pallas_binning import (
+            bin_hierarchical,
+            bin_single_level,
+            build_sorted_features,
+        )
         from .pallas_composite import composite_pallas
 
         def prep(e, i, n, m, c, s, o, ft):
@@ -194,7 +198,6 @@ def render(
         nty = (image_shape[0] + ts - 1) // ts
         num_tiles = ntx * nty
         b = feat.shape[0]
-        cg = cfg.chunk
 
         # Pad the Gaussian stream to a whole number of kernel stream windows;
         # padding columns have radius 0 so they never cover a tile.
@@ -206,36 +209,50 @@ def render(
         if pad:
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad)))
 
-        if ntx % 4 == 0 and nty % 4 == 0 and num_tiles >= 64:
-            from .pallas_binning import bin_hierarchical
-
-            gdat = bin_hierarchical(
+        hierarchical = ntx % 4 == 0 and nty % 4 == 0 and num_tiles >= 64
+        if hierarchical:
+            gdat, counts, sup_counts = bin_hierarchical(
                 feat, ts, ntx, nty, cfg.capacity, bcg, window,
                 cfg.supertile_capacity, cfg.interpret,
             )
+            sntx = ntx // 4
+            overflow = (
+                jnp.sum(jnp.maximum(counts - cfg.capacity, 0), axis=1)
+                + jnp.sum(
+                    jnp.maximum(sup_counts - cfg.supertile_capacity, 0), axis=1
+                )
+            ).astype(jnp.int32)
         else:
-            gdat = bin_pallas(
-                feat, ts, ntx, num_tiles, cfg.capacity, bcg, window, cfg.interpret
+            gdat, counts = bin_single_level(
+                feat, ts, ntx, nty, cfg.capacity, bcg, window, cfg.interpret
             )
-        from .pallas_binning import tile_counts
-
-        counts = tile_counts(jax.lax.stop_gradient(feat), ts, ntx, nty)
-        overflow = jnp.sum(
-            jnp.maximum(counts - cfg.capacity, 0), axis=1
-        ).astype(jnp.int32)
+            sntx = 0
+            overflow = jnp.sum(
+                jnp.maximum(counts - cfg.capacity, 0), axis=1
+            ).astype(jnp.int32)
 
         acc, tfin = composite_pallas(
             gdat[:, :, : cfg.capacity],
             jnp.minimum(counts, cfg.capacity).reshape(-1),
-            ts, ntx, num_tiles, cfg.chunk, cfg.interpret,
+            ts, ntx, sntx, num_tiles, cfg.chunk, cfg.interpret,
         )
         p = ts * ts
         c_out = 3 if feature is None else feature.shape[-1]
         acc = acc.reshape(b, num_tiles, p, 8)[..., :c_out]
         tfin = tfin.reshape(b, num_tiles, p)
         out = acc + tfin[..., None] * background[:, None, None, :]
-        out = out.reshape(b, nty, ntx, ts, ts, c_out)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, nty * ts, ntx * ts, c_out)
+        if hierarchical:
+            # Supertile-major tile order: (sy, sx, wy, wx) tiles, each (py, px).
+            snty = nty // 4
+            out = out.reshape(b, snty, sntx, 4, 4, ts, ts, c_out)
+            out = out.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                b, nty * ts, ntx * ts, c_out
+            )
+        else:
+            out = out.reshape(b, nty, ntx, ts, ts, c_out)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, nty * ts, ntx * ts, c_out
+            )
         img = out[:, : image_shape[0], : image_shape[1]]
         return RenderOutput(color=img, radii=radii, overflow=overflow)
 
@@ -273,7 +290,8 @@ def render_depth(
     """
     w2c = jnp.linalg.inv(extrinsics)
     cam_z = (
-        jnp.einsum("bij,bgj->bgi", w2c[:, :3, :3], means) + w2c[:, None, :3, 3]
+        jnp.einsum("bij,bgj->bgi", w2c[:, :3, :3], means, precision="highest")
+        + w2c[:, None, :3, 3]
     )[..., 2]
     if mode == "depth":
         feat = cam_z

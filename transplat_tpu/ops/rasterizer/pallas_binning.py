@@ -1,30 +1,34 @@
-"""Pallas tile-binning kernel: depth-ordered worklist compaction via one-hot
-MXU matmuls.
+"""Pallas tile-binning kernels: depth-ordered worklist compaction on the MXU.
 
-XLA's pair-sort binning costs ~130ms at G=131k (bitonic sort), and
-counting-sort alternatives bottleneck on 2M-element gathers/scatters (~50ms —
-TPU random access is slow). This kernel avoids all per-pair memory traffic:
+Replaces the tile binning + per-tile depth sort of the reference CUDA
+rasterizer (diff-gaussian-rasterization; see SURVEY.md §2.9 and
+/root/reference/src/model/decoder/cuda_splatting.py:100-136) with a
+scatter-free, gather-free formulation that maps onto TPU matmul hardware:
 
-  * the depth-sorted Gaussian stream [F, G] (feature-major: 16 sublanes x G
-    lanes) is processed in windows of W lanes — grid (B*T, G/W) — so Mosaic
-    pipelines window DMA against compute and VMEM stays small
-  * per-(tile, window) worklist base offsets are precomputed in XLA (one
-    coverage reduce + cumsum) and passed via scalar prefetch, which makes
-    every (tile, window) grid cell independent
-  * within a window: coverage mask from the screen rect vs this tile,
-    compaction offsets via a triangular-matmul cumsum, and a scatter-free
-    write — a one-hot matrix turns compaction into
-      gdat[:, w0:w0+CG+ALIGN] += sl @ onehot
-    an MXU matmul into a lane-aligned window of the worklist
+  * the depth-sorted Gaussian stream [F, G] (feature-major: F=16 sublanes x G
+    lanes) is swept in chunks of CG lanes; a chunk's coverage mask against a
+    GROUP of tiles is turned into per-tile compaction offsets by ONE
+    triangular-matrix matmul, and the compacted write becomes a one-hot
+    matmul into a 128-aligned window of each tile's worklist
+  * per-(tile, chunk) worklist base offsets are precomputed in XLA (one
+    coverage reduce + cumsum over chunks) and passed via scalar prefetch:
+    the kernel's inner loop carries NO cross-iteration vector state and
+    reads only SMEM scalars, so Mosaic can pipeline chunks freely
+  * two levels (64px supertiles -> 16px tiles) keep the per-level target
+    fan-out at <=16, bounding total routing work
 
-Lane->sublane vector moves (rel/mask) are identity-matrix matmuls — always
-supported, MXU-cheap — instead of relayout transposes.
+Numerical exactness on the MXU (which computes f32 matmuls as bf16 passes):
+  * 0/1 matrices (coverage, triangular, identity, one-hots) and integer
+    counts <= 256 are exactly representable in bf16, so the compaction-offset
+    matmuls are exact at native speed (hence CG <= 256)
+  * feature values are routed via an exact 3-way bf16 decomposition
+    (hi + mid + lo reconstructs any binary32 exactly; each part multiplies a
+    0/1 one-hot, accumulated in f32) — the binned worklists are bit-exact
+    copies of the input features
 
-The backward pass re-runs the stream with grid (B, G/W, T) (windows outer, so
-the dfeat window block accumulates over consecutive tile steps), transposing
-the one-hot matmul to route worklist cotangents back onto per-Gaussian
-features — zero scatters. Feature rows match pallas_composite.gdat
-(mean, conic, radius, opacity, rgb).
+The backward pass re-runs the sweep with the one-hot matmul transposed,
+routing worklist cotangents back onto stream features — zero scatters.
+Feature rows match pallas_composite.gdat (mean, conic, radius, opacity, rgb).
 """
 
 from __future__ import annotations
@@ -36,22 +40,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import split3_bf16
 from .pallas_composite import F
 
-_ALIGN = 128  # Mosaic lane-offset alignment for dynamic slices
+_ALIGN = 128  # Mosaic lane alignment for dynamic worklist windows
 
 
-def _coverage_lanes(sl, tx, ty, tile_size: int):
-    """sl: (F, CG) chunk; tx/ty scalar tile coords. Returns (1, CG) bool mask.
+def _covers(mx, my, r, x0, y0, tile_size):
+    """Tile-coverage predicate; MUST match between XLA (chunk_bases) and the
+    kernels — both evaluate it in f32 elementwise, so results are identical.
 
     Covers iff the tile's pixel range intersects [m - r, m + r] in both axes
     (exact cover of the circular alpha cutoff)."""
-    mx = sl[0:1, :]
-    my = sl[1:2, :]
-    r = sl[5:6, :]
-    ts = float(tile_size)
-    x0 = tx * ts
-    y0 = ty * ts
+    ts = jnp.float32(tile_size)
     return (
         (mx + r >= x0)
         & (mx - r < x0 + ts)
@@ -61,440 +62,391 @@ def _coverage_lanes(sl, tx, ty, tile_size: int):
     )
 
 
-def _constants(cg: int):
-    """Loop-invariant matrices: strict-upper tri, identity, one-hot columns."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg), 1)
-    tri = (rows < cols).astype(jnp.float32)
-    eye = (rows == cols).astype(jnp.float32)
-    oh_cols = jax.lax.broadcasted_iota(jnp.int32, (cg, cg + _ALIGN), 1)
-    return tri, eye, oh_cols
+# --------------------------------------------------------------------------
+# XLA side: per-(target, chunk) base offsets, counts and window trip counts
+# --------------------------------------------------------------------------
 
 
-def _chunk_plan(sl, tx, ty, tile_size: int, cg: int, tri, eye):
-    """Coverage + compaction offsets for one chunk.
+def chunk_bases(feat, tx0, ty0, tile_size, cg):
+    """Exclusive per-(target, chunk) worklist offsets, computed in XLA.
 
-    Returns (mask_s (CG,1), excl_s (CG,1), n scalar), all float32."""
-    mask_l = _coverage_lanes(sl, tx, ty, tile_size).astype(jnp.float32)  # (1, CG)
-    # excl[i] = sum_{j<i} mask[j]  ==  mask_l @ tri.
-    excl_l = jax.lax.dot_general(
-        mask_l, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    feat: (N, F, G) feature-major streams; tx0/ty0: (T,) or (N, T) tile
+    origins in pixels. Returns bases (N, T, NC + 1) int32 where
+    bases[n, t, c] = number of stream entries in chunks < c covering target t
+    and bases[n, t, NC] = total coverage count of target t.
+    """
+    n, _, g = feat.shape
+    nc = g // cg
+    mx = feat[:, 0, :].reshape(n, nc, cg)[..., None]
+    my = feat[:, 1, :].reshape(n, nc, cg)[..., None]
+    r = feat[:, 5, :].reshape(n, nc, cg)[..., None]
+    if tx0.ndim == 1:
+        x0 = tx0[None, None, None, :]
+        y0 = ty0[None, None, None, :]
+    else:
+        x0 = tx0[:, None, None, :]
+        y0 = ty0[:, None, None, :]
+    cov = _covers(mx, my, r, x0, y0, tile_size)  # (N, NC, CG, T)
+    counts = jnp.sum(cov, axis=2, dtype=jnp.int32)  # (N, NC, T)
+    incl = jnp.cumsum(counts, axis=1)
+    bases = jnp.concatenate([jnp.zeros_like(incl[:, :1]), incl], axis=1)
+    return jnp.moveaxis(bases, 1, 2)  # (N, T, NC + 1)
+
+
+def window_trips(bases, ng, group, cpw):
+    """Per-(cell, window) chunk trip counts from base offsets.
+
+    bases: (N, T, NC + 1) with T = ng * group. A window's trip is the index
+    past the last chunk in which ANY of the cell's targets gains coverage —
+    all-empty window tails (e.g. the sorted-to-the-back invisible Gaussians)
+    are skipped entirely.
+    """
+    n, t, ncp1 = bases.shape
+    nc = ncp1 - 1
+    nw = nc // cpw
+    delta = bases[:, :, 1:] - bases[:, :, :-1]  # (N, T, NC)
+    any_cov = jnp.any(
+        (delta > 0).reshape(n, ng, group, nw, cpw), axis=2
+    )  # (N, NG, NW, CPW)
+    last = jnp.max(
+        jnp.where(any_cov, jnp.arange(cpw, dtype=jnp.int32) + 1, 0), axis=-1
     )
-    # Lane -> sublane via one fused identity matmul: (CG, 2) = eye @ [mask; excl]^T.
-    both = jnp.concatenate([mask_l, excl_l], axis=0)  # (2, CG)
-    both_s = jax.lax.dot_general(
-        eye, both, dimension_numbers=(((1,), (1,)), ((), ())),
+    return last.reshape(n * ng, nw).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------------
+
+
+def _target_coords(i, group, *, layout, ntx, sntx, ng, nsup, tile_size):
+    """Per-target tile origins (group, 1) f32 for the current grid cell."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+    if layout == "raster":
+        tid = (i % ng) * group + k
+        tx = (tid % ntx) * tile_size
+        ty = (tid // ntx) * tile_size
+    else:  # "sub4x4": the 16 tiles of supertile s, row-major within it
+        s = i % nsup
+        tx = ((s % sntx) * 4 + k % 4) * tile_size
+        ty = ((s // sntx) * 4 + k // 4) * tile_size
+    return tx.astype(jnp.float32), ty.astype(jnp.float32)
+
+
+def _plan_matrix(cg: int):
+    """[tri | eye] (CG, 2CG): one matmul computes compaction offsets AND the
+    lane->sublane move of the coverage mask. 0/1 entries -> exact in bf16."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cg, 2 * cg), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, 2 * cg), 1)
+    tri = (rows < cols) & (cols < cg)
+    eye = rows == (cols - cg)
+    return (tri | eye).astype(jnp.float32)
+
+
+def _chunk_plan(sl, txs, tys, te, tile_size, group, cg):
+    """Coverage + compaction offsets for one chunk against `group` targets.
+
+    Returns excl_s (CG, group), mask_s (CG, group) — sublane-oriented.
+    Exact: all matmul inputs are 0/1 (bf16-exact), accumulation is f32.
+    """
+    cover = _covers(
+        sl[0:1, :], sl[1:2, :], sl[5:6, :], txs, tys, tile_size
+    ).astype(jnp.float32)  # (group, CG)
+    pe = jax.lax.dot_general(
+        te, cover, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (CG, 2)
-    return both_s[:, 0:1], both_s[:, 1:2], jnp.sum(mask_l)
-
-
-def _window_pass(
-    sl_window_ref, gdat_like_ref, base0, tx, ty,
-    *, tile_size: int, capacity: int, cg: int, backward: bool,
-    dfeat_ref=None, num_chunks=None,
-):
-    """Shared fwd/bwd sweep over one feature window."""
-    width = sl_window_ref.shape[2]
-    if num_chunks is None:
-        num_chunks = width // cg
-    tri, eye, oh_cols = _constants(cg)
-
-    def body(ci, base):
-        off = pl.multiple_of(ci * cg, cg)
-        sl = sl_window_ref[0, :, pl.ds(off, cg)]  # (F, CG)
-        mask_s, excl_s, n = _chunk_plan(sl, tx, ty, tile_size, cg, tri, eye)
-
-        @pl.when(n > 0.0)
-        def _():
-            b = jnp.minimum(base, capacity).astype(jnp.int32)
-            w0 = pl.multiple_of((b // _ALIGN) * _ALIGN, _ALIGN)
-            rel = (b - w0).astype(jnp.float32) + excl_s
-            onehot = jnp.where(
-                (oh_cols == rel.astype(jnp.int32)) & (mask_s > 0.5), 1.0, 0.0
-            )  # (CG, CG + ALIGN)
-            if not backward:
-                contrib = jax.lax.dot_general(
-                    sl, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                cur = gdat_like_ref[0, :, pl.ds(w0, cg + _ALIGN)]
-                gdat_like_ref[0, :, pl.ds(w0, cg + _ALIGN)] = cur + contrib
-            else:
-                window = gdat_like_ref[0, :, pl.ds(w0, cg + _ALIGN)]
-                back = jax.lax.dot_general(
-                    window, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                cur = dfeat_ref[0, :, pl.ds(off, cg)]
-                dfeat_ref[0, :, pl.ds(off, cg)] = cur + back
-
-        return base + n.astype(jnp.int32)
-
-    jax.lax.fori_loop(0, num_chunks, body, base0)
+    )  # (2CG, group)
+    return pe[:cg], pe[cg:]
 
 
 def _bin_fwd_kernel(
-    base_ref, feat_ref, gdat_ref,
-    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int, nw: int,
+    trips_ref, bases_ref, feat_ref, gdat_ref, oh_ref,
+    *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
 ):
-    i = pl.program_id(0)  # b * num_tiles + tile
+    i = pl.program_id(0)
     w = pl.program_id(1)
-    tile = i % num_tiles
-    tx = (tile % ntx).astype(jnp.float32)
-    ty = (tile // ntx).astype(jnp.float32)
+    nw = pl.num_programs(1)
+    nbw = cg + _ALIGN
 
     @pl.when(w == 0)
     def _():
-        gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
+        gdat_ref[...] = jnp.zeros(gdat_ref.shape, gdat_ref.dtype)
 
-    base0 = base_ref[i * nw + w]
-    _window_pass(
-        feat_ref, gdat_ref, base0, tx, ty,
-        tile_size=tile_size, capacity=capacity, cg=cg, backward=False,
+    txs, tys = _target_coords(
+        i, group, layout=layout, ntx=ntx, sntx=sntx, ng=ng, nsup=nsup,
+        tile_size=tile_size,
     )
+    te = _plan_matrix(cg)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
+
+    def chunk_body(ci, _):
+        off = pl.multiple_of(ci * cg, cg)
+        sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
+        sl3 = split3_bf16(sl)  # (3F, CG) bf16
+        excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
+        cbase = w * cpw + ci
+        # Stage every target's routing one-hot into one scratch matrix (its
+        # lane blocks are disjoint) so the whole group routes with ONE matmul
+        # instead of `group` small ones. A target with no coverage in this
+        # chunk has an all-zero mask column, hence an all-zero one-hot block —
+        # no per-target branching needed.
+        for k in range(group):
+            bidx = (i * group + k) * ncp1 + cbase
+            bq = jnp.minimum(bases_ref[bidx], capacity)
+            frac = (bq - (bq // _ALIGN) * _ALIGN).astype(jnp.float32)
+            rel = frac + excl_s[:, k : k + 1]  # (CG, 1), exact integers
+            oh_ref[:, k * nbw : (k + 1) * nbw] = (
+                (cols == rel.astype(jnp.int32))
+                & (mask_s[:, k : k + 1] > 0.5)
+            ).astype(jnp.bfloat16)
+        routed = jax.lax.dot_general(
+            sl3, oh_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3F, group * nbw)
+        contrib = routed[:F] + routed[F : 2 * F] + routed[2 * F :]
+        for k in range(group):
+            bidx = (i * group + k) * ncp1 + cbase
+            b0 = bases_ref[bidx]
+            b1 = bases_ref[bidx + 1]
+
+            @pl.when(b1 > b0)
+            def _(k=k, b0=b0):
+                bq = jnp.minimum(b0, capacity)
+                w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
+                gdat_ref[k, :, pl.ds(w0, nbw)] += contrib[
+                    :, k * nbw : (k + 1) * nbw
+                ]
+
+        return 0
+
+    jax.lax.fori_loop(0, trips_ref[i * nw + w], chunk_body, 0)
 
 
 def _bin_bwd_kernel(
-    base_ref, feat_ref, dgdat_ref, dfeat_ref,
-    *, tile_size: int, ntx: int, num_tiles: int, capacity: int, cg: int, nw: int,
-):
-    b = pl.program_id(0)
-    w = pl.program_id(1)
-    t = pl.program_id(2)
-    tx = (t % ntx).astype(jnp.float32)
-    ty = (t // ntx).astype(jnp.float32)
-
-    @pl.when(t == 0)
-    def _():
-        dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
-
-    base0 = base_ref[(b * num_tiles + t) * nw + w]
-    _window_pass(
-        feat_ref, dgdat_ref, base0, tx, ty,
-        tile_size=tile_size, capacity=capacity, cg=cg, backward=True,
-        dfeat_ref=dfeat_ref,
-    )
-
-
-def window_bases(
-    feat: jnp.ndarray, tile_size: int, ntx: int, nty: int, window: int
-) -> jnp.ndarray:
-    """XLA: exclusive per-(tile, window) worklist base offsets.
-
-    feat: (B, F, G) -> (B, T, NW) int32 with base[b, t, w] = number of
-    Gaussians in windows < w covering tile t. Uses the exact same coverage
-    predicate as the kernel.
-    """
-    b, _, g = feat.shape
-    nw = g // window
-    mx = feat[:, 0, :].reshape(b, nw, window)
-    my = feat[:, 1, :].reshape(b, nw, window)
-    r = feat[:, 5, :].reshape(b, nw, window)
-    t = jnp.arange(ntx * nty, dtype=jnp.float32)
-    tx = (t % ntx) * tile_size
-    ty = (t // ntx) * tile_size
-    cov = (
-        (mx[..., None] + r[..., None] >= tx)
-        & (mx[..., None] - r[..., None] < tx + tile_size)
-        & (my[..., None] + r[..., None] >= ty)
-        & (my[..., None] - r[..., None] < ty + tile_size)
-        & (r[..., None] > 0.0)
-    )  # (B, NW, W, T)
-    counts = cov.sum(axis=2).astype(jnp.int32)  # (B, NW, T)
-    incl = jnp.cumsum(counts, axis=1)
-    excl = incl - counts
-    return jnp.moveaxis(excl, 1, 2)  # (B, T, NW)
-
-
-def _fwd_call(feat, bases, tile_size, ntx, num_tiles, capacity, cg, window, interpret):
-    b, f, g = feat.shape  # (B, F, G) feature-major
-    nw = g // window
-    kernel = functools.partial(
-        _bin_fwd_kernel,
-        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles,
-        capacity=capacity, cg=cg, nw=nw,
-    )
-    width = capacity + cg + _ALIGN
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b * num_tiles, nw),
-        in_specs=[
-            pl.BlockSpec(
-                (1, f, window),
-                lambda i, w, _base: (i // num_tiles, 0, w),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, f, width), lambda i, w, _base: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * num_tiles, f, width), jnp.float32),
-        interpret=interpret,
-    )(bases.reshape(-1), feat)
-
-
-def _bwd_call(
-    feat, bases, dgdat, tile_size, ntx, num_tiles, capacity, cg, window, interpret
-):
-    b, f, g = feat.shape
-    nw = g // window
-    kernel = functools.partial(
-        _bin_bwd_kernel,
-        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles,
-        capacity=capacity, cg=cg, nw=nw,
-    )
-    width = capacity + cg + _ALIGN
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nw, num_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, f, window),
-                lambda bb, w, t, _base: (bb, 0, w),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, f, width),
-                lambda bb, w, t, _base: (bb * num_tiles + t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, f, window),
-            lambda bb, w, t, _base: (bb, 0, w),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, f, g), jnp.float32),
-        interpret=interpret,
-    )(bases.reshape(-1), feat, dgdat)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
-def bin_pallas(feat, tile_size, ntx, num_tiles, capacity, cg, window, interpret):
-    """feat: (B, F, G) depth-sorted, feature-major -> gdat (B*T, F, K+CG+ALIGN).
-
-    Only the first `capacity` worklist columns are clean (overflow columns
-    receive overlapping writes) — slice before compositing.
-    """
-    assert capacity % _ALIGN == 0, "capacity must be a multiple of 128"
-    nty = num_tiles // ntx
-    bases = window_bases(
-        jax.lax.stop_gradient(feat), tile_size, ntx, nty, window
-    )
-    return _fwd_call(
-        feat, bases, tile_size, ntx, num_tiles, capacity, cg, window, interpret
-    )
-
-
-def _vjp_fwd(feat, tile_size, ntx, num_tiles, capacity, cg, window, interpret):
-    nty = num_tiles // ntx
-    bases = window_bases(
-        jax.lax.stop_gradient(feat), tile_size, ntx, nty, window
-    )
-    out = _fwd_call(
-        feat, bases, tile_size, ntx, num_tiles, capacity, cg, window, interpret
-    )
-    return out, (feat, bases)
-
-
-def _vjp_bwd(tile_size, ntx, num_tiles, capacity, cg, window, interpret, res, dgdat):
-    feat, bases = res
-    dfeat = _bwd_call(
-        feat, bases, dgdat, tile_size, ntx, num_tiles, capacity, cg, window,
-        interpret,
-    )
-    return (dfeat,)
-
-
-bin_pallas.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-# --- Hierarchical (supertile) binning -------------------------------------
-#
-# Per-iteration overhead (~1us of small matmuls + predicated RMW) dominates
-# the single-level kernel: T x G/CG iterations = 131k at the flagship size.
-# Two levels cut this ~6x: phase 1 compacts the stream into (nty/4 x ntx/4)
-# 64px-supertile worklists; phase 2 compacts each supertile's worklist into
-# its 16 tiles. Depth order is preserved (each phase keeps stream order).
-# Phase 2 runs tiles in supertile-major order so its backward accumulates the
-# parent-worklist cotangent over consecutive grid steps; the caller permutes
-# the worklists back to raster order afterwards.
-
-
-def _phase2_tile_coords(j, sntx: int):
-    """Supertile-major program index j -> raster tile coords (tx, ty)."""
-    s = j // 16
-    wi = j % 16
-    tx = (s % sntx) * 4 + wi % 4
-    ty = (s // sntx) * 4 + wi // 4
-    return tx, ty
-
-
-def supertile_major_permutation(ntx: int, nty: int):
-    """Raster tile index for each supertile-major position (numpy, static)."""
-    import numpy as np
-
-    sntx = ntx // 4
-    out = np.empty(ntx * nty, np.int32)
-    for j in range(ntx * nty):
-        s, wi = divmod(j, 16)
-        tx = (s % sntx) * 4 + wi % 4
-        ty = (s // sntx) * 4 + wi // 4
-        out[j] = ty * ntx + tx
-    return out
-
-
-def _phase2_fwd_kernel(
-    counts_ref, parent_ref, gdat_ref,
-    *, tile_size: int, sntx: int, num_tiles: int, capacity: int, cg: int,
+    trips_ref, bases_ref, feat_ref, dgdat_ref, dfeat_ref, oh_ref, dwin_ref,
+    *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
 ):
     i = pl.program_id(0)
-    j = i % num_tiles
-    tx, ty = _phase2_tile_coords(j, sntx)
-    gdat_ref[0] = jnp.zeros_like(gdat_ref[0])
-    k1 = parent_ref.shape[2]
-    nsup = num_tiles // 16
-    sup_index = (i // num_tiles) * nsup + (j // 16)
-    count = jnp.minimum(counts_ref[sup_index], k1)
-    _window_pass(
-        parent_ref, gdat_ref, jnp.zeros((), jnp.int32),
-        tx.astype(jnp.float32), ty.astype(jnp.float32),
-        tile_size=tile_size, capacity=capacity, cg=cg, backward=False,
-        num_chunks=(count + cg - 1) // cg,
+    w = pl.program_id(1)
+    nw = pl.num_programs(1)
+    nbw = cg + _ALIGN
+
+    # Chunks past the trip count must still produce zero gradients.
+    dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
+
+    txs, tys = _target_coords(
+        i, group, layout=layout, ntx=ntx, sntx=sntx, ng=ng, nsup=nsup,
+        tile_size=tile_size,
+    )
+    te = _plan_matrix(cg)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
+
+    def chunk_body(ci, _):
+        off = pl.multiple_of(ci * cg, cg)
+        sl = feat_ref[0, :, pl.ds(off, cg)]
+        excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
+        cbase = w * cpw + ci
+        # Stage one-hots AND cotangent windows for the whole group, then pull
+        # gradients back with ONE contraction over the concatenated lane axis
+        # (disjoint blocks -> the sum over targets happens inside the matmul).
+        # Both scratches must be written unconditionally: a stale NaN times a
+        # zero one-hot would still poison the product.
+        for k in range(group):
+            bidx = (i * group + k) * ncp1 + cbase
+            bq = jnp.minimum(bases_ref[bidx], capacity)
+            w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
+            frac = (bq - w0).astype(jnp.float32)
+            rel = frac + excl_s[:, k : k + 1]
+            oh_ref[:, k * nbw : (k + 1) * nbw] = (
+                (cols == rel.astype(jnp.int32))
+                & (mask_s[:, k : k + 1] > 0.5)
+            ).astype(jnp.bfloat16)
+            dwin_ref[:, k * nbw : (k + 1) * nbw] = dgdat_ref[
+                k, :, pl.ds(w0, nbw)
+            ]
+        dwin3 = split3_bf16(dwin_ref[...])  # (3F, group * nbw)
+        back = jax.lax.dot_general(
+            dwin3, oh_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3F, CG)
+        dfeat_ref[0, :, pl.ds(off, cg)] = (
+            back[:F] + back[F : 2 * F] + back[2 * F :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, trips_ref[i * nw + w], chunk_body, 0)
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# --------------------------------------------------------------------------
+
+
+def _static(kw):
+    return dict(
+        tile_size=kw["tile_size"], ntx=kw["ntx"], sntx=kw["sntx"],
+        ng=kw["ng"], nsup=kw["nsup"], layout=kw["layout"], group=kw["group"],
+        cg=kw["cg"], capacity=kw["capacity"], cpw=kw["cpw"], ncp1=kw["ncp1"],
     )
 
 
-def _phase2_bwd_kernel(
-    counts_ref, parent_ref, dgdat_ref, dparent_ref,
-    *, tile_size: int, sntx: int, num_tiles: int, capacity: int, cg: int,
-):
-    p = pl.program_id(0)  # b * num_supertiles + s
-    wi = pl.program_id(1)  # tile within supertile
-    s = p % (num_tiles // 16)
-    j = s * 16 + wi
-    tx, ty = _phase2_tile_coords(j, sntx)
-
-    @pl.when(wi == 0)
-    def _():
-        dparent_ref[0] = jnp.zeros_like(dparent_ref[0])
-
-    k1 = parent_ref.shape[2]
-    count = jnp.minimum(counts_ref[p], k1)
-    _window_pass(
-        parent_ref, dgdat_ref, jnp.zeros((), jnp.int32),
-        tx.astype(jnp.float32), ty.astype(jnp.float32),
-        tile_size=tile_size, capacity=capacity, cg=cg, backward=True,
-        dfeat_ref=dparent_ref,
-        num_chunks=(count + cg - 1) // cg,
-    )
-
-
-def _phase2_fwd_call(parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret):
-    bs, f, k1 = parents.shape  # (B * num_supertiles, F, K1)
-    nsup = num_tiles // 16
-    b = bs // nsup
-    kernel = functools.partial(
-        _phase2_fwd_kernel,
-        tile_size=tile_size, sntx=sntx, num_tiles=num_tiles,
-        capacity=capacity, cg=cg,
-    )
-    width = capacity + cg + _ALIGN
+def _fwd_call(stream, bases, trips, interpret, **kw):
+    n, f, window_total = stream.shape
+    ng, group, cg, cpw = kw["ng"], kw["group"], kw["cg"], kw["cpw"]
+    window = cpw * cg
+    nw = window_total // window
+    width = kw["capacity"] + cg + _ALIGN
+    nbw = cg + _ALIGN
+    kernel = functools.partial(_bin_fwd_kernel, **_static(kw))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b * num_tiles,),
+        num_scalar_prefetch=2,
+        grid=(n * ng, nw),
         in_specs=[
             pl.BlockSpec(
-                (1, f, k1),
-                lambda i, _c: ((i // num_tiles) * (num_tiles // 16)
-                               + (i % num_tiles) // 16, 0, 0),
+                (1, f, window),
+                lambda i, w, *_: (i // ng, 0, w),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, f, width), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM
+            (group, f, width), lambda i, w, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((cg, group * nbw), jnp.bfloat16)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * num_tiles, f, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * ng * group, f, width), jnp.float32),
         interpret=interpret,
-    )(counts, parents)
+    )(trips.reshape(-1), bases.reshape(-1), stream)
 
 
-def _phase2_bwd_call(parents, counts, dgdat, tile_size, sntx, num_tiles, capacity, cg, interpret):
-    bs, f, k1 = parents.shape
-    kernel = functools.partial(
-        _phase2_bwd_kernel,
-        tile_size=tile_size, sntx=sntx, num_tiles=num_tiles,
-        capacity=capacity, cg=cg,
-    )
-    width = capacity + cg + _ALIGN
+def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
+    n, f, window_total = stream.shape
+    ng, group, cg, cpw = kw["ng"], kw["group"], kw["cg"], kw["cpw"]
+    window = cpw * cg
+    nw = window_total // window
+    width = kw["capacity"] + cg + _ALIGN
+    nbw = cg + _ALIGN
+    kernel = functools.partial(_bin_bwd_kernel, **_static(kw))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bs, 16),
+        num_scalar_prefetch=2,
+        grid=(n * ng, nw),
         in_specs=[
             pl.BlockSpec(
-                (1, f, k1), lambda p, wi, _c: (p, 0, 0), memory_space=pltpu.VMEM
+                (1, f, window),
+                lambda i, w, *_: (i // ng, 0, w),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, f, width),
-                lambda p, wi, _c: (p * 16 + wi, 0, 0),
+                (group, f, width), lambda i, w, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, f, k1), lambda p, wi, _c: (p, 0, 0), memory_space=pltpu.VMEM
+            (1, f, window), lambda i, w, *_: (i, 0, w), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
+            pltpu.VMEM((f, group * nbw), jnp.float32),
+        ],
     )
+    # Per-group partial cotangents; caller sums over the ng axis.
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bs, f, k1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * ng, f, window_total), jnp.float32),
         interpret=interpret,
-    )(counts, parents, dgdat)
+    )(trips.reshape(-1), bases.reshape(-1), stream, dgdat)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _phase2(parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret):
-    return _phase2_fwd_call(
-        parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bin_targets(stream, bases, trips, interpret, static):
+    """Compact depth-sorted streams into per-target worklists.
+
+    stream: (N, F, W_total) feature-major; bases: (N * ng, group, NC + 1)
+    int32 from chunk_bases; trips: (N * ng, NW) int32 from window_trips.
+    static: hashable dict of kernel geometry (see _static).
+    Returns gdat (N * ng * group, F, capacity + cg + 128); only the first
+    `capacity` columns are clean — slice before compositing.
+    """
+    return _fwd_call(stream, bases, trips, interpret, **dict(static))
+
+
+def _vjp_fwd(stream, bases, trips, interpret, static):
+    out = _fwd_call(stream, bases, trips, interpret, **dict(static))
+    return out, (stream, bases, trips)
+
+
+def _vjp_bwd(interpret, static, res, dgdat):
+    stream, bases, trips = res
+    kw = dict(static)
+    partials = _bwd_call(stream, bases, trips, dgdat, interpret, **kw)
+    n = stream.shape[0]
+    ng = kw["ng"]
+    dstream = partials.reshape(n, ng, *stream.shape[1:]).sum(axis=1)
+    return (dstream, None, None)
+
+
+bin_targets.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Public entry points
+# --------------------------------------------------------------------------
+
+
+def _frozen(**kw):
+    return tuple(sorted(kw.items()))
+
+
+def _pick_group(num_tiles: int, width: int, budget_bytes: int = 21 << 18) -> int:
+    """Largest divisor of num_tiles (<=16) whose worklist group fits VMEM.
+
+    The budget (~5.25 MB) accounts for Mosaic double-buffering the group
+    block across grid cells, the stream window, and the plan constants
+    within the ~16 MB scoped-VMEM limit."""
+    for g in (16, 8, 4, 2, 1):
+        if num_tiles % g == 0 and g * F * width * 4 <= budget_bytes:
+            return g
+    return 1
+
+
+def bin_single_level(
+    feat, tile_size, ntx, nty, capacity, cg, window, interpret
+):
+    """One-level binning (small images): gdat in raster tile order + counts.
+
+    feat: (B, F, G) depth-sorted feature-major, G a multiple of `window`.
+    Returns gdat (B*T, F, width), counts (B, T) int32.
+    """
+    assert capacity % _ALIGN == 0 and cg % _ALIGN == 0 and cg <= 256
+    b, _, g = feat.shape
+    num_tiles = ntx * nty
+    width = capacity + cg + _ALIGN
+    group = _pick_group(num_tiles, width)
+    ng = num_tiles // group
+    cpw = window // cg
+    t = jnp.arange(num_tiles, dtype=jnp.int32)
+    tx0 = ((t % ntx) * tile_size).astype(jnp.float32)
+    ty0 = ((t // ntx) * tile_size).astype(jnp.float32)
+    bases = chunk_bases(jax.lax.stop_gradient(feat), tx0, ty0, tile_size, cg)
+    trips = window_trips(bases, ng, group, cpw)
+    counts = bases[:, :, -1]
+    static = _frozen(
+        tile_size=tile_size, ntx=ntx, sntx=0, ng=ng, nsup=0, layout="raster",
+        group=group, cg=cg, capacity=capacity, cpw=cpw,
+        ncp1=bases.shape[-1],
     )
-
-
-def _phase2_vjp_fwd(parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret):
-    out = _phase2_fwd_call(
-        parents, counts, tile_size, sntx, num_tiles, capacity, cg, interpret
+    gdat = bin_targets(
+        feat, bases.reshape(b * ng, group, -1), trips, interpret, static
     )
-    return out, (parents, counts)
-
-
-def _phase2_vjp_bwd(tile_size, sntx, num_tiles, capacity, cg, interpret, res, dgdat):
-    parents, counts = res
-    return (
-        _phase2_bwd_call(
-            parents, counts, dgdat, tile_size, sntx, num_tiles, capacity, cg,
-            interpret,
-        ),
-        None,
-    )
-
-
-_phase2.defvjp(_phase2_vjp_fwd, _phase2_vjp_bwd)
+    return gdat, counts
 
 
 def bin_hierarchical(
-    feat: jnp.ndarray,  # (B, F, G) depth-sorted, feature-major
+    feat,  # (B, F, G) depth-sorted, feature-major
     tile_size: int,
     ntx: int,
     nty: int,
@@ -503,35 +455,91 @@ def bin_hierarchical(
     window: int,
     supertile_capacity: int,
     interpret: bool,
-) -> jnp.ndarray:
-    """Two-level binning -> gdat (B*T, F, K+CG+ALIGN) in RASTER tile order."""
+):
+    """Two-level binning: 4x4-tile supertiles, then per-supertile tiles.
+
+    Returns (gdat, counts, sup_counts):
+      gdat (B*T, F, capacity + cg + 128) in SUPERTILE-MAJOR tile order
+      counts (B, T) int32 per-tile coverage, same order
+      sup_counts (B, S) int32 per-supertile coverage (overflow diagnostics)
+    """
     assert ntx % 4 == 0 and nty % 4 == 0
-    assert supertile_capacity % cg == 0 and supertile_capacity % _ALIGN == 0
+    assert capacity % _ALIGN == 0 and cg % _ALIGN == 0 and cg <= 256
+    assert supertile_capacity % _ALIGN == 0
     sntx, snty = ntx // 4, nty // 4
-    num_supertiles = sntx * snty
-    num_tiles = ntx * nty
+    nsup = sntx * snty
     b = feat.shape[0]
+    k1 = supertile_capacity
+    width1 = k1 + cg + _ALIGN
+    cpw = window // cg
 
-    sup = bin_pallas(
-        feat, tile_size * 4, sntx, num_supertiles, supertile_capacity, cg,
-        window, interpret,
-    )  # (B * S, F, K1 + cg + ALIGN)
-    parents = sup[:, :, :supertile_capacity]
+    # Phase 1: stream -> supertile worklists (raster supertile order).
+    s = jnp.arange(nsup, dtype=jnp.int32)
+    sx0 = ((s % sntx) * (4 * tile_size)).astype(jnp.float32)
+    sy0 = ((s // sntx) * (4 * tile_size)).astype(jnp.float32)
+    group1 = _pick_group(nsup, width1)
+    ng1 = nsup // group1
+    bases1 = chunk_bases(
+        jax.lax.stop_gradient(feat), sx0, sy0, 4 * tile_size, cg
+    )  # (B, S, NC+1)
+    trips1 = window_trips(bases1, ng1, group1, cpw)
+    sup_counts = bases1[:, :, -1]  # (B, S)
+    static1 = _frozen(
+        tile_size=4 * tile_size, ntx=sntx, sntx=0, ng=ng1, nsup=0,
+        layout="raster", group=group1, cg=cg, capacity=k1, cpw=cpw,
+        ncp1=bases1.shape[-1],
+    )
+    sup = bin_targets(
+        feat, bases1.reshape(b * ng1, group1, -1), trips1, interpret, static1
+    )  # (B*S, F, width1)
+    parents = sup[:, :, :k1]
 
-    sup_counts = tile_counts(
-        jax.lax.stop_gradient(feat), tile_size * 4, sntx, snty
-    ).reshape(-1)  # (B * S,)
+    # Phase 2: each supertile worklist -> its 16 tiles (sub4x4 order).
+    sid = jnp.arange(nsup, dtype=jnp.int32)  # (S,)
+    wi = jnp.arange(16, dtype=jnp.int32)
+    tx0 = (((sid[:, None] % sntx) * 4 + wi[None, :] % 4) * tile_size).astype(
+        jnp.float32
+    )  # (S, 16)
+    ty0 = (((sid[:, None] // sntx) * 4 + wi[None, :] // 4) * tile_size).astype(
+        jnp.float32
+    )
+    tx0 = jnp.tile(tx0, (b, 1))  # (B*S, 16)
+    ty0 = jnp.tile(ty0, (b, 1))
+    bases2 = chunk_bases(
+        jax.lax.stop_gradient(parents), tx0, ty0, tile_size, cg
+    )  # (B*S, 16, NC2+1)
+    trips2 = (
+        (jnp.minimum(sup_counts.reshape(-1), k1) + cg - 1) // cg
+    ).reshape(b * nsup, 1).astype(jnp.int32)
+    static2 = _frozen(
+        tile_size=tile_size, ntx=ntx, sntx=sntx, ng=1, nsup=nsup,
+        layout="sub4x4", group=16, cg=cg, capacity=capacity, cpw=k1 // cg,
+        ncp1=bases2.shape[-1],
+    )
+    gdat = bin_targets(parents, bases2, trips2, interpret, static2)
+    counts = bases2[:, :, -1].reshape(b, nsup * 16)
+    return gdat, counts, sup_counts
 
-    gdat = _phase2(
-        parents, sup_counts, tile_size, sntx, num_tiles, capacity, cg, interpret
-    )  # supertile-major tile order
 
-    perm = jnp.asarray(supertile_major_permutation(ntx, nty))
-    # Invert: raster position r holds the worklist from supertile-major slot.
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=jnp.int32))
-    batch_offsets = (jnp.arange(b, dtype=jnp.int32) * num_tiles)[:, None]
-    gather_idx = (batch_offsets + inv[None, :]).reshape(-1)
-    return gdat[gather_idx]
+@jax.custom_vjp
+def _permute_rows(feat, order, inv_order):
+    """feat[order] with a gather-only VJP.
+
+    XLA's autodiff of a gather is a scatter-add (~150 ms at 131k x 16 f32 on
+    v5e); since `order` is a permutation, the cotangent is exactly
+    g[inv_order] — another fast gather."""
+    return feat[order]
+
+
+def _permute_rows_fwd(feat, order, inv_order):
+    return feat[order], inv_order
+
+
+def _permute_rows_bwd(res, g):
+    return g[res], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def build_sorted_features(proj, feature=None):
@@ -542,6 +550,7 @@ def build_sorted_features(proj, feature=None):
     live = proj.valid & (proj.radius > 0.0)
     depth_key = jnp.where(live, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key).astype(jnp.int32)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
 
     g = proj.mean2d.shape[0]
     big = jnp.float32(1e9)
@@ -557,26 +566,4 @@ def build_sorted_features(proj, feature=None):
     cols.extend(color[:, i] for i in range(c))
     cols.extend(jnp.zeros((g,), jnp.float32) for _ in range(F - 7 - c))
     feat = jnp.stack(cols, axis=-1)  # (G, F)
-    return feat[order].T  # (F, G)
-
-
-def tile_counts(feat: jnp.ndarray, tile_size: int, ntx: int, nty: int) -> jnp.ndarray:
-    """Per-tile coverage counts for overflow diagnostics.
-
-    feat: (B, F, G) feature-major -> (B, T) int32.
-    """
-    b, _, g = feat.shape
-    mx = feat[:, 0, :]
-    my = feat[:, 1, :]
-    r = feat[:, 5, :]
-    t = jnp.arange(ntx * nty, dtype=jnp.float32)
-    tx = (t % ntx) * tile_size
-    ty = (t // ntx) * tile_size
-    cov = (
-        (mx[..., None] + r[..., None] >= tx)
-        & (mx[..., None] - r[..., None] < tx + tile_size)
-        & (my[..., None] + r[..., None] >= ty)
-        & (my[..., None] - r[..., None] < ty + tile_size)
-        & (r[..., None] > 0.0)
-    )
-    return jnp.sum(cov.astype(jnp.int32), axis=1)
+    return _permute_rows(feat, order, inv_order).T  # (F, G)

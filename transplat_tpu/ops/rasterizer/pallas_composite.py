@@ -1,10 +1,12 @@
 """Pallas TPU kernels for tile compositing (forward + custom backward).
 
-The performance path of the rasterizer: replaces the XLA scan in
-tiles.composite_tiles. Per-tile worklists are pre-gathered by XLA into a
-feature-major layout gdat[B*T, F, K] (lanes = Gaussians; batch folded into
-the grid), and the kernel composites each 16x16-pixel tile against its K
-Gaussians in lane-sized chunks:
+The performance path of the rasterizer: replaces the per-tile front-to-back
+alpha compositing loop of the reference CUDA rasterizer
+(/root/reference/src/model/decoder/cuda_splatting.py:126-133's underlying
+kernel) with MXU-friendly lane-parallel sweeps. Per-tile worklists are
+produced by the binning kernels in a feature-major layout gdat[B*T, F, K]
+(lanes = Gaussians; batch folded into the grid), and the kernel composites
+each 16x16-pixel tile against its K Gaussians in lane-sized chunks:
 
   forward:  alpha from the conic quadratic form, transmittance via a lane
             cumsum in log space (exclusive cumprod), color accumulation as a
@@ -14,9 +16,18 @@ Gaussians in lane-sized chunks:
             suffix_k = <g, out_total> - <g, prefix_k>, so no reverse pass is
             needed. Feature gradients reduce over pixels on the MXU.
 
+MXU numerics (the hardware truncates f32 matmul inputs to bf16): cumsums of
+log-transmittance use the exact 3-way bf16 split (mxu.split3_bf16) against
+the 0/1 triangular matrix; value x value products (color accumulation and
+all backward reductions) use the ~2^-18 two-way split (mxu.dot_g).
+
 Feature rows of gdat: 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
 5 radius, 6 opacity, 7.. color channels (padded to F=16 rows; invalid
 worklist entries carry opacity 0).
+
+Tile ordering is either raster (sntx=0) or supertile-major "sub4x4"
+(sntx=ntx//4: tiles grouped 4x4 per supertile, as emitted by
+pallas_binning.bin_hierarchical — saves a large re-permutation gather).
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import dot_g, split3_bf16
 from .reference import TRANSMITTANCE_EPS
 
 F = 16  # feature rows (padded)
@@ -35,28 +47,39 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
-def _pixel_coords(tile_id, tile_size: int, ntx: int, p: int):
+def _pixel_coords(tile_id, tile_size: int, ntx: int, sntx: int, p: int):
     """Per-tile pixel centers: (P, 1) px and py, float32."""
     i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    tx = (tile_id % ntx) * tile_size
-    ty = (tile_id // ntx) * tile_size
+    if sntx:
+        s = tile_id // 16
+        wi = tile_id % 16
+        tx = ((s % sntx) * 4 + wi % 4) * tile_size
+        ty = ((s // sntx) * 4 + wi // 4) * tile_size
+    else:
+        tx = (tile_id % ntx) * tile_size
+        ty = (tile_id // ntx) * tile_size
     px = (tx + i % tile_size).astype(jnp.float32)
     py = (ty + i // tile_size).astype(jnp.float32)
     return px, py
 
 
 def _lane_cumsum(x, chunk: int, exclusive: bool):
-    """Prefix sum along the lane axis as an MXU matmul with a triangular
-    ones matrix (Mosaic has no cumsum primitive; this keeps it on the MXU)."""
+    """Prefix sum along the lane axis via a triangular-matrix matmul.
+
+    Exact to f32: x is split 3-way into bf16 parts (mxu.split3_bf16) and the
+    0/1 triangular matrix is bf16-exact, so the MXU's bf16 passes accumulate
+    the true f32 sum."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri = (rows < cols) if exclusive else (rows <= cols)
-    return jax.lax.dot_general(
-        x,
-        tri.astype(jnp.float32),
+    tri = ((rows < cols) if exclusive else (rows <= cols)).astype(jnp.bfloat16)
+    p = x.shape[0]
+    y = jax.lax.dot_general(
+        split3_bf16(x),
+        tri,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return y[:p] + y[p : 2 * p] + y[2 * p :]
 
 
 def _chunk_alpha(sl, px, py):
@@ -82,7 +105,7 @@ def _chunk_alpha(sl, px, py):
 
 def _composite_fwd_kernel(
     counts_ref, gdat_ref, acc_ref, tfin_ref,
-    *, tile_size: int, ntx: int, num_tiles: int, chunk: int,
+    *, tile_size: int, ntx: int, sntx: int, num_tiles: int, chunk: int,
 ):
     p = tile_size * tile_size
     k = gdat_ref.shape[2]
@@ -91,7 +114,7 @@ def _composite_fwd_kernel(
     count = jnp.minimum(counts_ref[i], k)
     num_chunks = (count + chunk - 1) // chunk
     tile = i % num_tiles  # batch is folded into the grid
-    px, py = _pixel_coords(tile, tile_size, ntx, p)
+    px, py = _pixel_coords(tile, tile_size, ntx, sntx, p)
 
     def body(ci, carry):
         t_run, acc = carry  # (P, 1) linear transmittance; (P, 8)
@@ -102,11 +125,8 @@ def _composite_fwd_kernel(
         t_before = t_run * jnp.exp(excl)  # exclusive cumprod
         contrib = jnp.where(t_before >= TRANSMITTANCE_EPS, alpha * t_before, 0.0)
         rgb = sl[7:15, :]  # (8, CK); unused rows are zero padding
-        acc = acc + jax.lax.dot_general(
-            contrib,
-            rgb,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc = acc + dot_g(
+            contrib, rgb, dimension_numbers=(((1,), (1,)), ((), ()))
         )
         t_run = t_run * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
         return t_run, acc
@@ -120,7 +140,7 @@ def _composite_fwd_kernel(
 
 def _composite_bwd_kernel(
     counts_ref, gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
-    *, tile_size: int, ntx: int, num_tiles: int, chunk: int,
+    *, tile_size: int, ntx: int, sntx: int, num_tiles: int, chunk: int,
 ):
     p = tile_size * tile_size
     k = gdat_ref.shape[2]
@@ -128,10 +148,10 @@ def _composite_bwd_kernel(
     count = jnp.minimum(counts_ref[i], k)
     num_chunks = (count + chunk - 1) // chunk
     tile = i % num_tiles
-    px, py = _pixel_coords(tile, tile_size, ntx, p)
+    px, py = _pixel_coords(tile, tile_size, ntx, sntx, p)
 
     # The untouched tail must still produce zero gradients.
-    dgdat_ref[0] = jnp.zeros_like(dgdat_ref[0])
+    dgdat_ref[...] = jnp.zeros(dgdat_ref.shape, dgdat_ref.dtype)
 
     g = gacc_ref[0]  # (P, 8) cotangent of acc
     g_tfin = gtfin_ref[0].reshape(p, 1)
@@ -151,10 +171,7 @@ def _composite_bwd_kernel(
 
         rgb = sl[7:15, :]
         # <g, c_k> per pixel-gaussian: (P, CK).
-        g_dot_c = jax.lax.dot_general(
-            g, rgb, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        g_dot_c = dot_g(g, rgb, dimension_numbers=(((1,), (0,)), ((), ())))
         s = g_dot_c * alpha_t  # <g, contrib_k>
         prefix_k = prefix + _lane_cumsum(s, chunk, exclusive=False)
         suffix = g_dot_total - prefix_k  # <g, A_k>
@@ -167,10 +184,7 @@ def _composite_bwd_kernel(
         )
 
         # d color: sum over pixels of g[p, :] * alpha_t[p, k] -> (8, CK).
-        d_rgb = jax.lax.dot_general(
-            g, alpha_t, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        d_rgb = dot_g(g, alpha_t, dimension_numbers=(((0,), (0,)), ((), ())))
 
         # Chain through alpha = opac * exp(power) (capped & masked).
         a, b, c = sl[2:3, :], sl[3:4, :], sl[4:5, :]
@@ -190,9 +204,6 @@ def _composite_bwd_kernel(
         )  # (7, CK)
         dgdat_ref[0, 0:7, pl.ds(ci * chunk, chunk)] = dg_top
         dgdat_ref[0, 7:15, pl.ds(ci * chunk, chunk)] = d_rgb
-        dgdat_ref[0, 15:16, pl.ds(ci * chunk, chunk)] = jnp.zeros(
-            (1, chunk), jnp.float32
-        )
 
         t_run = t_run * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
         prefix = prefix + jnp.sum(s, axis=1, keepdims=True)
@@ -203,12 +214,13 @@ def _composite_bwd_kernel(
     jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
 
 
-def _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
+def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_fwd_kernel,
-        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles, chunk=chunk,
+        tile_size=tile_size, ntx=ntx, sntx=sntx, num_tiles=num_tiles,
+        chunk=chunk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -234,12 +246,16 @@ def _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
     )(counts, gdat)
 
 
-def _bwd_call(gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, num_tiles, chunk, interpret):
+def _bwd_call(
+    gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, sntx,
+    num_tiles, chunk, interpret,
+):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_bwd_kernel,
-        tile_size=tile_size, ntx=ntx, num_tiles=num_tiles, chunk=chunk,
+        tile_size=tile_size, ntx=ntx, sntx=sntx, num_tiles=num_tiles,
+        chunk=chunk,
     )
 
     def spec(shape):
@@ -264,24 +280,27 @@ def _bwd_call(gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, num_ti
     )(counts, gdat, gacc, gtfin, accres, tfinres)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def composite_pallas(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def composite_pallas(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
     """gdat: (B*T, F, K), counts: (B*T,) int32 worklist lengths
-    -> (acc (B*T, P, 8), t_final (B*T, 1, P))."""
-    return _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret)
+    -> (acc (B*T, P, 8), t_final (B*T, 1, P)). sntx=0 for raster tile order,
+    ntx//4 for supertile-major (sub4x4) order."""
+    return _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret)
 
 
-def _vjp_fwd(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret):
-    acc, tfin = _fwd_call(gdat, counts, tile_size, ntx, num_tiles, chunk, interpret)
+def _vjp_fwd(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
+    acc, tfin = _fwd_call(
+        gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret
+    )
     return (acc, tfin), (gdat, counts, acc, tfin)
 
 
-def _vjp_bwd(tile_size, ntx, num_tiles, chunk, interpret, residuals, cotangents):
+def _vjp_bwd(tile_size, ntx, sntx, num_tiles, chunk, interpret, residuals, cotangents):
     gdat, counts, acc, tfin = residuals
     gacc, gtfin = cotangents
     dgdat = _bwd_call(
-        gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, num_tiles, chunk,
-        interpret,
+        gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, sntx, num_tiles,
+        chunk, interpret,
     )
     return (dgdat, None)
 

@@ -69,7 +69,7 @@ def project_gaussians(
     trans = w2c[:3, 3]
 
     # Camera-space positions.
-    t = means @ rot.T + trans  # (G, 3)
+    t = jnp.matmul(means, rot.T, precision="highest") + trans  # (G, 3)
     depth = t[..., 2]
     valid = depth > near_cull
 
@@ -91,19 +91,25 @@ def project_gaussians(
     tx = txtz * z
     ty = tytz * z
 
-    zero = jnp.zeros_like(z)
-    j = jnp.stack(
-        [
-            jnp.stack([fx / z, zero, -fx * tx / (z * z)], axis=-1),
-            jnp.stack([zero, fy / z, -fy * ty / (z * z)], axis=-1),
-        ],
-        axis=-2,
-    )  # (G, 2, 3)
-    jw = j @ rot  # (G, 2, 3)
-    cov2d = jw @ covariances @ jnp.swapaxes(jw, -1, -2)  # (G, 2, 2)
-    a = cov2d[..., 0, 0] + 0.3
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + 0.3
+    # J W has rows u = (fx/z) r0 - (fx tx/z^2) r2 and v = (fy/z) r1 -
+    # (fy ty/z^2) r2 (r_i = rows of the world-to-camera rotation). Unrolled
+    # over the tiny dims so everything is (G,)-elementwise on the VPU —
+    # per-Gaussian 2x3x3 batched matmuls are ~30x slower on TPU (they occupy
+    # 9/1024 lanes of each vreg and defeat fusion).
+    pu = fx / z
+    qu = -fx * tx / (z * z)
+    pv = fy / z
+    qv = -fy * ty / (z * z)
+    u = [pu * rot[0, k] + qu * rot[2, k] for k in range(3)]
+    v = [pv * rot[1, k] + qv * rot[2, k] for k in range(3)]
+    s = [[covariances[..., k, l] for l in range(3)] for k in range(3)]
+
+    def quad(x, y):  # x^T Sigma y, Sigma symmetric
+        return sum(x[k] * sum(s[k][l] * y[l] for l in range(3)) for k in range(3))
+
+    a = quad(u, u) + 0.3
+    b = quad(u, v)
+    c = quad(v, v) + 0.3
 
     det = a * c - b * b
     valid = valid & (det > 0.0)

@@ -50,7 +50,7 @@ def composite_pixels(
     )
     # CUDA kernel stops once T drops below 1e-4: those contributions vanish.
     contrib = jnp.where(t_before >= TRANSMITTANCE_EPS, alpha * t_before, 0.0)
-    out = contrib @ color  # (P, C)
+    out = jnp.matmul(contrib, color, precision="highest")  # (P, C)
     t_final = jnp.prod(
         jnp.where(t_before >= TRANSMITTANCE_EPS, 1.0 - alpha, 1.0), axis=-1
     )

@@ -363,7 +363,7 @@ def composite_tiles(
             [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
         )
         contrib = jnp.where(t_before >= TRANSMITTANCE_EPS, alpha * t_before, 0.0)
-        accum = accum + jnp.einsum("tpk,tkc->tpc", contrib, color)
+        accum = accum + jnp.einsum("tpk,tkc->tpc", contrib, color, precision="highest")
         t_run = t_run * cum[..., -1]
         return (t_run, accum), None
 

@@ -27,6 +27,10 @@ class CheckpointManager:
         return self.manager.save(step, args=ocp.args.StandardSave(state))
 
     def save(self, step: int, state) -> None:
+        if self.manager.latest_step() == step:
+            # Resuming at max_steps (or a re-entrant final save) would
+            # otherwise raise StepAlreadyExistsError.
+            return
         self.manager.save(step, args=ocp.args.StandardSave(state), force=True)
         self.manager.wait_until_finished()
 

@@ -47,21 +47,22 @@ def create_train_state(
     """Initialize model + LPIPS variables from a (host) example batch."""
     model = EncoderTranSplat(encoder_cfg)
     ctx = batch_example["context"]
-    variables = model.init(
+    # jit the inits: un-jitted flax init runs op-by-op (thousands of
+    # dispatches — minutes on high-latency backends instead of seconds).
+    variables = jax.jit(partial(model.init, train=False))(
         rng,
         jnp.asarray(ctx["image"]),
         jnp.asarray(ctx["intrinsics"]),
         jnp.asarray(ctx["extrinsics"]),
         jnp.asarray(ctx["near"]),
         jnp.asarray(ctx["far"]),
-        train=False,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
     tgt_shape = batch_example["target"]["image"].shape
     lpips = LPIPS()
-    lpips_params = lpips.init(
+    lpips_params = jax.jit(lpips.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, *tgt_shape[-3:])),
         jnp.zeros((1, *tgt_shape[-3:])),
