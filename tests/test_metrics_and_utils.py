@@ -132,3 +132,45 @@ class TestVisualization:
         header_end = data.index(b"end_header\n") + len(b"end_header\n")
         n_fields = 6 + 3 + 72 + 1 + 3 + 4
         assert len(data) - header_end == g * n_fields * 4
+
+
+class TestMetricComputerCLI:
+    def test_compute_metrics_cli(self, tmp_path):
+        """End-to-end offline metric comparison through the CLI
+        (reference: src/scripts/compute_metrics.py via MetricComputer)."""
+        import json
+        import subprocess
+        import sys
+
+        from transplat_tpu.utils.image_io import save_image
+
+        rng = np.random.default_rng(0)
+        gt_root = tmp_path / "gt"
+        good_root = tmp_path / "good"
+        noisy_root = tmp_path / "noisy"
+        for scene in ("scene_a", "scene_b"):
+            imgs = rng.uniform(0.2, 0.8, size=(2, 16, 16, 3)).astype(np.float32)
+            for i, img in enumerate(imgs):
+                save_image(img, gt_root / scene / "color" / f"{i}.png")
+                save_image(img, good_root / scene / "color" / f"{i}.png")
+                noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1)
+                save_image(
+                    noisy.astype(np.float32),
+                    noisy_root / scene / "color" / f"{i}.png",
+                )
+
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "transplat_tpu.main", "compute-metrics",
+                "--ground-truth", str(gt_root),
+                "--method", f"good={good_root}",
+                "--method", f"noisy={noisy_root}",
+                "--output", str(tmp_path / "metrics"),
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr
+        summary = json.loads((tmp_path / "metrics" / "summary.json").read_text())
+        assert summary["good"]["psnr"] > 45.0
+        assert summary["noisy"]["psnr"] < summary["good"]["psnr"]
+        assert summary["good"]["ssim"] > summary["noisy"]["ssim"]

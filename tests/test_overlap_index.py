@@ -93,3 +93,25 @@ class TestIndexGenerator:
         data = json.loads((tmp_path / "index.json").read_text())
         assert data["a"]["context"] == [0, 5]
         assert data["b"] is None
+
+
+class TestVideoIndex:
+    def test_dense_targets_cover_interval(self):
+        n = 60
+        extr = np.stack([camera(yaw_deg=1.2 * i) for i in range(n)])
+        intr = np.tile(INTR, (n, 1, 1))
+        gen = EvaluationIndexGenerator(
+            IndexGeneratorCfg(
+                num_target_views=3,
+                min_overlap=0.4,
+                max_overlap=0.8,
+                min_distance=5,
+                max_distance=50,
+                dense_targets=True,
+            )
+        )
+        gen.process_scene("s0", extr, intr)
+        entry = gen.index["s0"]
+        assert entry is not None
+        left, right = entry["context"]
+        assert entry["target"] == list(range(left, right + 1))

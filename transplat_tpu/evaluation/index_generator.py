@@ -26,6 +26,9 @@ class IndexGeneratorCfg:
     min_distance: int = 45
     max_distance: int = 245
     seed: int = 123
+    # Dense targets (every frame between the context pair) for video
+    # rendering — the reference's generate_video_evaluation_index.py variant.
+    dense_targets: bool = False
 
 
 class EvaluationIndexGenerator:
@@ -77,9 +80,14 @@ class EvaluationIndexGenerator:
                 span = right - left + 1
                 if span < cfg.num_target_views:
                     continue
-                target = self.rng.choice(
-                    np.arange(left, right + 1), cfg.num_target_views, replace=False
-                )
+                if cfg.dense_targets:
+                    target = np.arange(left, right + 1)
+                else:
+                    target = self.rng.choice(
+                        np.arange(left, right + 1),
+                        cfg.num_target_views,
+                        replace=False,
+                    )
                 self.index[scene] = {
                     "context": [left, right],
                     "target": sorted(int(t) for t in target),

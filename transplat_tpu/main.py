@@ -5,6 +5,8 @@ TPU equivalent of the reference's hydra launcher (/root/reference/src/main.py):
   test            — golden-index evaluation with metrics + timing dumps
   generate-index  — build an evaluation index by view overlap
   bench           — rasterizer throughput benchmark (same as bench.py)
+  compute-metrics — offline PSNR/SSIM/LPIPS comparison over saved renders
+                    (reference: src/scripts/compute_metrics.py)
 """
 
 from __future__ import annotations
@@ -16,7 +18,8 @@ import json
 def main():
     parser = argparse.ArgumentParser(description="transplat_tpu")
     parser.add_argument(
-        "mode", choices=["train", "test", "generate-index", "bench"]
+        "mode",
+        choices=["train", "test", "generate-index", "bench", "compute-metrics"],
     )
     parser.add_argument("--experiment", default="re10k")
     parser.add_argument("--config", default=None, help="YAML override file")
@@ -28,6 +31,25 @@ def main():
     parser.add_argument("--dp", type=int, default=None, help="data-parallel size")
     parser.add_argument("--sp", type=int, default=1, help="splat-parallel size")
     parser.add_argument("--dataset-root", default=None)
+    parser.add_argument(
+        "--method",
+        action="append",
+        default=[],
+        help="compute-metrics: name=render_dir (repeatable)",
+    )
+    parser.add_argument(
+        "--ground-truth", default=None, help="compute-metrics: GT render dir"
+    )
+    parser.add_argument(
+        "--side-by-side",
+        action="store_true",
+        help="compute-metrics: write comparison panels",
+    )
+    parser.add_argument(
+        "--video-index",
+        action="store_true",
+        help="generate-index: dense targets for video rendering",
+    )
     args = parser.parse_args()
 
     from .config import load_config
@@ -90,7 +112,9 @@ def main():
         import torch
         from pathlib import Path
 
-        gen = EvaluationIndexGenerator(IndexGeneratorCfg())
+        gen = EvaluationIndexGenerator(
+            IndexGeneratorCfg(dense_targets=args.video_index)
+        )
         for root in cfg.dataset.roots:
             for chunk_path in sorted((Path(root) / "test").glob("*.torch")):
                 chunk = torch.load(chunk_path, weights_only=False)
@@ -102,6 +126,31 @@ def main():
         out = args.output or "outputs/evaluation_index.json"
         gen.save(out)
         print(f"wrote {out} with {len(gen.index)} scenes")
+
+    elif args.mode == "compute-metrics":
+        from pathlib import Path
+
+        from .evaluation.metric_computer import MetricComputer, MetricComputerCfg
+
+        if not args.ground_truth or not args.method:
+            parser.error(
+                "compute-metrics requires --ground-truth and at least one "
+                "--method name=dir"
+            )
+        methods = dict(m.split("=", 1) for m in args.method)
+        mc_cfg = MetricComputerCfg(
+            methods=methods,
+            ground_truth=args.ground_truth,
+            output_path=args.output or "outputs/metrics",
+            side_by_side=args.side_by_side,
+        )
+        computer = MetricComputer(mc_cfg)
+        scenes = sorted(
+            p.name for p in Path(args.ground_truth).iterdir() if p.is_dir()
+        )
+        for scene in scenes:
+            computer.process_scene(scene)
+        print(json.dumps(computer.summarize(), indent=2))
 
     elif args.mode == "bench":
         import importlib.util
