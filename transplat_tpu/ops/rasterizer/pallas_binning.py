@@ -45,6 +45,12 @@ from .pallas_composite import F
 
 _ALIGN = 128  # Mosaic lane alignment for dynamic worklist windows
 
+# Debug/profiling hook (scripts/bench_binning.py): truncate the forward chunk
+# body after a given stage to attribute kernel time. Trace-time constant;
+# production value is "full". Stages: "dma" (stream read only), "plan"
+# (+coverage & compaction offsets), "onehot" (+one-hot staging), "full".
+ABLATE = "full"
+
 
 def _covers(mx, my, r, x0, y0, tile_size):
     """Tile-coverage predicate; MUST match between XLA (chunk_bases) and the
@@ -91,6 +97,28 @@ def chunk_bases(feat, tx0, ty0, tile_size, cg):
     incl = jnp.cumsum(counts, axis=1)
     bases = jnp.concatenate([jnp.zeros_like(incl[:, :1]), incl], axis=1)
     return jnp.moveaxis(bases, 1, 2)  # (N, T, NC + 1)
+
+
+def pack_bases(bases, capacity):
+    """Clamp + pack base offsets into int16 pairs for SMEM prefetch.
+
+    The kernels only ever use min(b, capacity) and the gate b1 > b0, so
+    offsets are clamped to capacity + 1 (<= 16385, fits 15 bits) and packed
+    two-per-int32 — halving the scalar-prefetch footprint (SMEM is 1 MB).
+    Clamping also shortens window_trips: chunks that would only write the
+    discarded overflow region are skipped entirely.
+    """
+    flat = jnp.minimum(bases.reshape(-1), capacity + 1).astype(jnp.int32)
+    if flat.shape[0] % 2:
+        flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
+    pair = flat.reshape(-1, 2)
+    return pair[:, 0] | (pair[:, 1] << 16)
+
+
+def _read_base(bases_ref, j):
+    """Read logical element j from a pack_bases array (scalar ops)."""
+    word = bases_ref[j // 2]
+    return jnp.where(j % 2 == 1, word >> 16, word & 0xFFFF)
 
 
 def window_trips(bases, ng, group, cpw):
@@ -180,25 +208,45 @@ def _bin_fwd_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
     def chunk_body(ci, _):
+        if ABLATE == "empty":
+            gdat_ref[0, 0:1, 0:128] = jnp.full((1, 128), ci, jnp.float32)
+            return 0
         off = pl.multiple_of(ci * cg, cg)
         sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
+        if ABLATE == "dma":
+            gdat_ref[0, :, 0:cg] += sl
+            return 0
         sl3 = split3_bf16(sl)  # (3F, CG) bf16
         excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
+        if ABLATE == "plan":
+            gdat_ref[0, :, 0:cg] += jnp.sum(excl_s + mask_s) + sl
+            return 0
         cbase = w * cpw + ci
         # Stage every target's routing one-hot into one scratch matrix (its
         # lane blocks are disjoint) so the whole group routes with ONE matmul
-        # instead of `group` small ones. A target with no coverage in this
-        # chunk has an all-zero mask column, hence an all-zero one-hot block —
-        # no per-target branching needed.
+        # instead of `group` small ones. The coverage mask is folded into the
+        # compare key (non-coverers get slot -1, matching no lane), so the
+        # wide one-hot build is a single compare + convert — and a target
+        # with no coverage produces an all-zero block, no branching needed.
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
-            bq = jnp.minimum(bases_ref[bidx], capacity)
+            bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
             frac = (bq - (bq // _ALIGN) * _ALIGN).astype(jnp.float32)
             rel = frac + excl_s[:, k : k + 1]  # (CG, 1), exact integers
+            rel = jnp.where(mask_s[:, k : k + 1] > 0.5, rel, -1.0)
             oh_ref[:, k * nbw : (k + 1) * nbw] = (
-                (cols == rel.astype(jnp.int32))
-                & (mask_s[:, k : k + 1] > 0.5)
+                cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
+        if ABLATE == "onehot":
+            # Consume the one-hot with a 1-row matmul (~1/48 of the real
+            # routing cost) so it isn't dead-code-eliminated.
+            r1 = jax.lax.dot_general(
+                sl3[0:1], oh_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gdat_ref[0, 0:1, 0:cg] += r1[:, 0:cg]
+            return 0
         routed = jax.lax.dot_general(
             sl3, oh_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -206,16 +254,20 @@ def _bin_fwd_kernel(
         contrib = routed[:F] + routed[F : 2 * F] + routed[2 * F :]
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
-            b0 = bases_ref[bidx]
-            b1 = bases_ref[bidx + 1]
-
-            @pl.when(b1 > b0)
-            def _(k=k, b0=b0):
-                bq = jnp.minimum(b0, capacity)
-                w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
-                gdat_ref[k, :, pl.ds(w0, nbw)] += contrib[
-                    :, k * nbw : (k + 1) * nbw
-                ]
+            b0 = _read_base(bases_ref, bidx)
+            bq = jnp.minimum(b0, capacity)
+            w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
+            ck = contrib[:, k * nbw : (k + 1) * nbw]
+            # Unconditional (an uncovered target's contrib block is all
+            # zeros; += 0 and rewriting never-written tail blocks with zeros
+            # are both no-ops) — a per-target pl.when costs a serialized
+            # branch per (chunk, target), which dominates on dense scenes.
+            # Only the first 128-block can hold earlier chunks' entries
+            # (their writes end at b0 < w0 + 128, since worklist offsets are
+            # monotone in the chunk sweep); the rest of the window was never
+            # touched — plain stores, no RMW.
+            gdat_ref[k, :, pl.ds(w0, _ALIGN)] += ck[:, :_ALIGN]
+            gdat_ref[k, :, pl.ds(w0 + _ALIGN, nbw - _ALIGN)] = ck[:, _ALIGN:]
 
         return 0
 
@@ -253,13 +305,13 @@ def _bin_bwd_kernel(
         # zero one-hot would still poison the product.
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
-            bq = jnp.minimum(bases_ref[bidx], capacity)
+            bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
             w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
             frac = (bq - w0).astype(jnp.float32)
             rel = frac + excl_s[:, k : k + 1]
+            rel = jnp.where(mask_s[:, k : k + 1] > 0.5, rel, -1.0)
             oh_ref[:, k * nbw : (k + 1) * nbw] = (
-                (cols == rel.astype(jnp.int32))
-                & (mask_s[:, k : k + 1] > 0.5)
+                cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
             dwin_ref[:, k * nbw : (k + 1) * nbw] = dgdat_ref[
                 k, :, pl.ds(w0, nbw)
@@ -319,7 +371,7 @@ def _fwd_call(stream, bases, trips, interpret, **kw):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * ng * group, f, width), jnp.float32),
         interpret=interpret,
-    )(trips.reshape(-1), bases.reshape(-1), stream)
+    )(trips.reshape(-1), bases, stream)
 
 
 def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
@@ -358,15 +410,16 @@ def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * ng, f, window_total), jnp.float32),
         interpret=interpret,
-    )(trips.reshape(-1), bases.reshape(-1), stream, dgdat)
+    )(trips.reshape(-1), bases, stream, dgdat)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def bin_targets(stream, bases, trips, interpret, static):
     """Compact depth-sorted streams into per-target worklists.
 
-    stream: (N, F, W_total) feature-major; bases: (N * ng, group, NC + 1)
-    int32 from chunk_bases; trips: (N * ng, NW) int32 from window_trips.
+    stream: (N, F, W_total) feature-major; bases: flat int32 from
+    pack_bases(chunk_bases(...)); trips: (N * ng, NW) int32 from
+    window_trips.
     static: hashable dict of kernel geometry (see _static).
     Returns gdat (N * ng * group, F, capacity + cg + 128); only the first
     `capacity` columns are clean — slice before compositing.
@@ -432,7 +485,8 @@ def bin_single_level(
     tx0 = ((t % ntx) * tile_size).astype(jnp.float32)
     ty0 = ((t // ntx) * tile_size).astype(jnp.float32)
     bases = chunk_bases(jax.lax.stop_gradient(feat), tx0, ty0, tile_size, cg)
-    trips = window_trips(bases, ng, group, cpw)
+    clamped = jnp.minimum(bases, capacity + 1)
+    trips = window_trips(clamped, ng, group, cpw)
     counts = bases[:, :, -1]
     static = _frozen(
         tile_size=tile_size, ntx=ntx, sntx=0, ng=ng, nsup=0, layout="raster",
@@ -440,7 +494,7 @@ def bin_single_level(
         ncp1=bases.shape[-1],
     )
     gdat = bin_targets(
-        feat, bases.reshape(b * ng, group, -1), trips, interpret, static
+        feat, pack_bases(bases, capacity), trips, interpret, static
     )
     return gdat, counts
 
@@ -482,7 +536,7 @@ def bin_hierarchical(
     bases1 = chunk_bases(
         jax.lax.stop_gradient(feat), sx0, sy0, 4 * tile_size, cg
     )  # (B, S, NC+1)
-    trips1 = window_trips(bases1, ng1, group1, cpw)
+    trips1 = window_trips(jnp.minimum(bases1, k1 + 1), ng1, group1, cpw)
     sup_counts = bases1[:, :, -1]  # (B, S)
     static1 = _frozen(
         tile_size=4 * tile_size, ntx=sntx, sntx=0, ng=ng1, nsup=0,
@@ -490,7 +544,7 @@ def bin_hierarchical(
         ncp1=bases1.shape[-1],
     )
     sup = bin_targets(
-        feat, bases1.reshape(b * ng1, group1, -1), trips1, interpret, static1
+        feat, pack_bases(bases1, k1), trips1, interpret, static1
     )  # (B*S, F, width1)
     parents = sup[:, :, :k1]
 
@@ -516,7 +570,9 @@ def bin_hierarchical(
         layout="sub4x4", group=16, cg=cg, capacity=capacity, cpw=k1 // cg,
         ncp1=bases2.shape[-1],
     )
-    gdat = bin_targets(parents, bases2, trips2, interpret, static2)
+    gdat = bin_targets(
+        parents, pack_bases(bases2, capacity), trips2, interpret, static2
+    )
     counts = bases2[:, :, -1].reshape(b, nsup * 16)
     return gdat, counts, sup_counts
 

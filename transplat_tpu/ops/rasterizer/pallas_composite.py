@@ -64,22 +64,38 @@ def _pixel_coords(tile_id, tile_size: int, ntx: int, sntx: int, p: int):
 
 
 def _lane_cumsum(x, chunk: int, exclusive: bool):
-    """Prefix sum along the lane axis via a triangular-matrix matmul.
+    """Prefix sum along the lane axis via triangular-matrix matmuls.
 
-    Exact to f32: x is split 3-way into bf16 parts (mxu.split3_bf16) and the
-    0/1 triangular matrix is bf16-exact, so the MXU's bf16 passes accumulate
-    the true f32 sum."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri = ((rows < cols) if exclusive else (rows <= cols)).astype(jnp.bfloat16)
+    Exact to f32 accumulation: x is split 3-way into bf16 parts
+    (mxu.split3_bf16) and the 0/1 triangular matrix is bf16-exact, so the
+    MXU's bf16 passes accumulate the true f32 sum.
+
+    Computed block-hierarchically in 128-lane blocks: each block's local
+    prefix is one (3P, 128) x (128, 128) matmul (full MXU lane utilization,
+    half the MACs of a monolithic (chunk, chunk) triangle), and the running
+    inter-block offset is a vector reduce + broadcast add."""
     p = x.shape[0]
-    y = jax.lax.dot_general(
-        split3_bf16(x),
-        tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return y[:p] + y[p : 2 * p] + y[2 * p :]
+    bs = 128 if chunk % 128 == 0 and chunk > 128 else chunk
+    nb = chunk // bs
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    tri = ((rows < cols) if exclusive else (rows <= cols)).astype(jnp.bfloat16)
+    x3 = split3_bf16(x)  # (3P, chunk)
+    outs = []
+    offset = jnp.zeros((p, 1), jnp.float32)
+    for j in range(nb):
+        yj = jax.lax.dot_general(
+            x3[:, j * bs : (j + 1) * bs],
+            tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(yj[:p] + yj[p : 2 * p] + yj[2 * p :] + offset)
+        if j + 1 < nb:
+            offset = offset + jnp.sum(
+                x[:, j * bs : (j + 1) * bs], axis=1, keepdims=True
+            )
+    return outs[0] if nb == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _chunk_alpha(sl, px, py):
@@ -123,12 +139,18 @@ def _composite_fwd_kernel(
         log1m = jnp.log1p(-alpha)
         excl = _lane_cumsum(log1m, chunk, exclusive=True)
         t_before = t_run * jnp.exp(excl)  # exclusive cumprod
-        contrib = jnp.where(t_before >= TRANSMITTANCE_EPS, alpha * t_before, 0.0)
+        live = t_before >= TRANSMITTANCE_EPS
+        contrib = jnp.where(live, alpha * t_before, 0.0)
         rgb = sl[7:15, :]  # (8, CK); unused rows are zero padding
         acc = acc + dot_g(
             contrib, rgb, dimension_numbers=(((1,), (1,)), ((), ()))
         )
-        t_run = t_run * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+        # Freeze t once a pixel saturates (oracle convention: t_final stops
+        # multiplying below TRANSMITTANCE_EPS) — also what the backward's
+        # live-gated d_alpha assumes of t_final.
+        t_run = t_run * jnp.exp(
+            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
+        )
         return t_run, acc
 
     t_run = jnp.ones((p, 1), jnp.float32)
@@ -205,7 +227,9 @@ def _composite_bwd_kernel(
         dgdat_ref[0, 0:7, pl.ds(ci * chunk, chunk)] = dg_top
         dgdat_ref[0, 7:15, pl.ds(ci * chunk, chunk)] = d_rgb
 
-        t_run = t_run * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+        t_run = t_run * jnp.exp(
+            jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
+        )
         prefix = prefix + jnp.sum(s, axis=1, keepdims=True)
         return t_run, prefix
 
