@@ -188,7 +188,7 @@ def _chunk_plan(sl, txs, tys, te, tile_size, group, cg):
 
 
 def _bin_fwd_kernel(
-    trips_ref, bases_ref, feat_ref, gdat_ref, oh_ref,
+    trips_ref, bases_ref, feat_ref, gdat_ref, oh_ref, oh2_ref,
     *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
 ):
     i = pl.program_id(0)
@@ -207,51 +207,40 @@ def _bin_fwd_kernel(
     te = _plan_matrix(cg)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
-    def chunk_body(ci, _):
-        if ABLATE == "empty":
-            gdat_ref[0, 0:1, 0:128] = jnp.full((1, 128), ci, jnp.float32)
-            return 0
+    def plan(ci):
         off = pl.multiple_of(ci * cg, cg)
         sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
-        if ABLATE == "dma":
-            gdat_ref[0, :, 0:cg] += sl
-            return 0
         sl3 = split3_bf16(sl)  # (3F, CG) bf16
         excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
-        if ABLATE == "plan":
-            gdat_ref[0, :, 0:cg] += jnp.sum(excl_s + mask_s) + sl
-            return 0
-        cbase = w * cpw + ci
+        return sl, sl3, excl_s, mask_s
+
+    def stage_onehot(ci, excl_s, mask_s, oh):
         # Stage every target's routing one-hot into one scratch matrix (its
         # lane blocks are disjoint) so the whole group routes with ONE matmul
         # instead of `group` small ones. The coverage mask is folded into the
         # compare key (non-coverers get slot -1, matching no lane), so the
         # wide one-hot build is a single compare + convert — and a target
         # with no coverage produces an all-zero block, no branching needed.
+        cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
             bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
             frac = (bq - (bq // _ALIGN) * _ALIGN).astype(jnp.float32)
             rel = frac + excl_s[:, k : k + 1]  # (CG, 1), exact integers
             rel = jnp.where(mask_s[:, k : k + 1] > 0.5, rel, -1.0)
-            oh_ref[:, k * nbw : (k + 1) * nbw] = (
+            oh[:, k * nbw : (k + 1) * nbw] = (
                 cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
-        if ABLATE == "onehot":
-            # Consume the one-hot with a 1-row matmul (~1/48 of the real
-            # routing cost) so it isn't dead-code-eliminated.
-            r1 = jax.lax.dot_general(
-                sl3[0:1], oh_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            gdat_ref[0, 0:1, 0:cg] += r1[:, 0:cg]
-            return 0
+
+    def route(sl3, oh):
         routed = jax.lax.dot_general(
-            sl3, oh_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            sl3, oh[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (3F, group * nbw)
-        contrib = routed[:F] + routed[F : 2 * F] + routed[2 * F :]
+        return routed[:F] + routed[F : 2 * F] + routed[2 * F :]
+
+    def store(ci, contrib):
+        cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
             b0 = _read_base(bases_ref, bidx)
@@ -269,6 +258,55 @@ def _bin_fwd_kernel(
             gdat_ref[k, :, pl.ds(w0, _ALIGN)] += ck[:, :_ALIGN]
             gdat_ref[k, :, pl.ds(w0 + _ALIGN, nbw - _ALIGN)] = ck[:, _ALIGN:]
 
+    if ABLATE == "full" and cpw % 2 == 0:
+        # Software-pipelined pairs: the VPU one-hot staging of chunk B is
+        # independent of the MXU routing matmul of chunk A (separate
+        # scratches), so the VLIW scheduler can overlap them. Iterations
+        # carry no vector state, and a beyond-trips tail chunk routes only
+        # zeros (no coverage gain) or overflow-region junk — both harmless —
+        # so rounding the trip count up to a whole pair is exact.
+        def pair_body(pj, _):
+            ca = 2 * pj
+            cb = ca + 1
+            _, sl3a, ea, ma = plan(ca)
+            _, sl3b, eb, mb = plan(cb)
+            stage_onehot(ca, ea, ma, oh_ref)
+            ctr_a = route(sl3a, oh_ref)
+            stage_onehot(cb, eb, mb, oh2_ref)
+            ctr_b = route(sl3b, oh2_ref)
+            store(ca, ctr_a)
+            store(cb, ctr_b)
+            return 0
+
+        trips = trips_ref[i * nw + w]
+        jax.lax.fori_loop(0, (trips + 1) // 2, pair_body, 0)
+        return
+
+    def chunk_body(ci, _):
+        if ABLATE == "empty":
+            gdat_ref[0, 0:1, 0:128] = jnp.full((1, 128), ci, jnp.float32)
+            return 0
+        off = pl.multiple_of(ci * cg, cg)
+        sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
+        if ABLATE == "dma":
+            gdat_ref[0, :, 0:cg] += sl
+            return 0
+        _, sl3, excl_s, mask_s = plan(ci)
+        if ABLATE == "plan":
+            gdat_ref[0, :, 0:cg] += jnp.sum(excl_s + mask_s) + sl
+            return 0
+        stage_onehot(ci, excl_s, mask_s, oh_ref)
+        if ABLATE == "onehot":
+            # Consume the one-hot with a 1-row matmul (~1/48 of the real
+            # routing cost) so it isn't dead-code-eliminated.
+            r1 = jax.lax.dot_general(
+                sl3[0:1], oh_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gdat_ref[0, 0:1, 0:cg] += r1[:, 0:cg]
+            return 0
+        store(ci, route(sl3, oh_ref))
         return 0
 
     jax.lax.fori_loop(0, trips_ref[i * nw + w], chunk_body, 0)
@@ -276,6 +314,7 @@ def _bin_fwd_kernel(
 
 def _bin_bwd_kernel(
     trips_ref, bases_ref, feat_ref, dgdat_ref, dfeat_ref, oh_ref, dwin_ref,
+    oh2_ref, dwin2_ref,
     *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
 ):
     i = pl.program_id(0)
@@ -293,16 +332,16 @@ def _bin_bwd_kernel(
     te = _plan_matrix(cg)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
-    def chunk_body(ci, _):
-        off = pl.multiple_of(ci * cg, cg)
-        sl = feat_ref[0, :, pl.ds(off, cg)]
-        excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
-        cbase = w * cpw + ci
+    def stage(ci, oh, dwin):
         # Stage one-hots AND cotangent windows for the whole group, then pull
         # gradients back with ONE contraction over the concatenated lane axis
         # (disjoint blocks -> the sum over targets happens inside the matmul).
         # Both scratches must be written unconditionally: a stale NaN times a
         # zero one-hot would still poison the product.
+        off = pl.multiple_of(ci * cg, cg)
+        sl = feat_ref[0, :, pl.ds(off, cg)]
+        excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
+        cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
             bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
@@ -310,20 +349,43 @@ def _bin_bwd_kernel(
             frac = (bq - w0).astype(jnp.float32)
             rel = frac + excl_s[:, k : k + 1]
             rel = jnp.where(mask_s[:, k : k + 1] > 0.5, rel, -1.0)
-            oh_ref[:, k * nbw : (k + 1) * nbw] = (
+            oh[:, k * nbw : (k + 1) * nbw] = (
                 cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
-            dwin_ref[:, k * nbw : (k + 1) * nbw] = dgdat_ref[
-                k, :, pl.ds(w0, nbw)
-            ]
-        dwin3 = split3_bf16(dwin_ref[...])  # (3F, group * nbw)
+            dwin[:, k * nbw : (k + 1) * nbw] = dgdat_ref[k, :, pl.ds(w0, nbw)]
+
+    def pull(ci, oh, dwin):
+        off = pl.multiple_of(ci * cg, cg)
+        dwin3 = split3_bf16(dwin[...])  # (3F, group * nbw)
         back = jax.lax.dot_general(
-            dwin3, oh_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            dwin3, oh[...], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (3F, CG)
         dfeat_ref[0, :, pl.ds(off, cg)] = (
             back[:F] + back[F : 2 * F] + back[2 * F :]
         )
+
+    if cpw % 2 == 0:
+        # Software-pipelined pairs (see _bin_fwd_kernel): chunk B's VPU
+        # staging is independent of chunk A's MXU pull. A beyond-trips tail
+        # chunk writes a zero dfeat slice (zero one-hot or zero dgdat in the
+        # overflow junk region) — identical to the pre-zeroed output.
+        def pair_body(pj, _):
+            ca = 2 * pj
+            cb = ca + 1
+            stage(ca, oh_ref, dwin_ref)
+            pull(ca, oh_ref, dwin_ref)  # async MXU …
+            stage(cb, oh2_ref, dwin2_ref)  # … overlaps this VPU staging
+            pull(cb, oh2_ref, dwin2_ref)
+            return 0
+
+        trips = trips_ref[i * nw + w]
+        jax.lax.fori_loop(0, (trips + 1) // 2, pair_body, 0)
+        return
+
+    def chunk_body(ci, _):
+        stage(ci, oh_ref, dwin_ref)
+        pull(ci, oh_ref, dwin_ref)
         return 0
 
     jax.lax.fori_loop(0, trips_ref[i * nw + w], chunk_body, 0)
@@ -364,7 +426,10 @@ def _fwd_call(stream, bases, trips, interpret, **kw):
             (group, f, width), lambda i, w, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((cg, group * nbw), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
+            pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
+        ],
     )
     return pl.pallas_call(
         kernel,
@@ -400,6 +465,8 @@ def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
             (1, f, window), lambda i, w, *_: (i, 0, w), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
+            pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
+            pltpu.VMEM((f, group * nbw), jnp.float32),
             pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
             pltpu.VMEM((f, group * nbw), jnp.float32),
         ],

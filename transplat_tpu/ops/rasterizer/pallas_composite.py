@@ -132,12 +132,16 @@ def _composite_fwd_kernel(
     tile = i % num_tiles  # batch is folded into the grid
     px, py = _pixel_coords(tile, tile_size, ntx, sntx, p)
 
-    def body(ci, carry):
-        t_run, acc = carry  # (P, 1) linear transmittance; (P, 8)
+    def prep(ci):
+        # Carry-independent per-chunk work (VPU alpha + MXU cumsum).
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, _, _, _, _ = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
         excl = _lane_cumsum(log1m, chunk, exclusive=True)
+        return sl, alpha, log1m, excl
+
+    def combine(carry, sl, alpha, log1m, excl):
+        t_run, acc = carry  # (P, 1) linear transmittance; (P, 8)
         t_before = t_run * jnp.exp(excl)  # exclusive cumprod
         live = t_before >= TRANSMITTANCE_EPS
         contrib = jnp.where(live, alpha * t_before, 0.0)
@@ -155,7 +159,24 @@ def _composite_fwd_kernel(
 
     t_run = jnp.ones((p, 1), jnp.float32)
     acc = jnp.zeros((p, 8), jnp.float32)
-    t_run, acc = jax.lax.fori_loop(0, num_chunks, body, (t_run, acc))
+    if (k // chunk) % 2 == 0:
+        # Pairs: chunk B's prep is carry-independent, so its MXU cumsum
+        # overlaps chunk A's VPU combine. A beyond-count tail chunk is
+        # all-zero worklist padding (alpha 0) — an exact no-op — so rounding
+        # the trip count up to a whole pair is exact.
+        def pair_body(pj, carry):
+            pa = prep(2 * pj)
+            pb = prep(2 * pj + 1)
+            return combine(combine(carry, *pa), *pb)
+
+        t_run, acc = jax.lax.fori_loop(
+            0, (num_chunks + 1) // 2, pair_body, (t_run, acc)
+        )
+    else:
+        def body(ci, carry):
+            return combine(carry, *prep(ci))
+
+        t_run, acc = jax.lax.fori_loop(0, num_chunks, body, (t_run, acc))
     acc_ref[0] = acc
     tfin_ref[0] = t_run.reshape(1, p)
 
@@ -181,19 +202,23 @@ def _composite_bwd_kernel(
     # <g, out_total> per pixel (padding rows of acc are zero).
     g_dot_total = jnp.sum(g * accres_ref[0], axis=1, keepdims=True)  # (P, 1)
 
-    def body(ci, carry):
-        t_run, prefix = carry  # (P, 1), (P, 1) running <g, prefix>
+    def prep(ci):
+        # Carry-independent per-chunk work (VPU alpha, MXU cumsum + <g, c_k>).
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
         excl = _lane_cumsum(log1m, chunk, exclusive=True)
-        t_before = t_run * jnp.exp(excl)
-        live = t_before >= TRANSMITTANCE_EPS
-        alpha_t = jnp.where(live, alpha * t_before, 0.0)  # (P, CK)
-
         rgb = sl[7:15, :]
         # <g, c_k> per pixel-gaussian: (P, CK).
         g_dot_c = dot_g(g, rgb, dimension_numbers=(((1,), (0,)), ((), ())))
+        return ci, sl, alpha, dx, dy, power, uncapped, log1m, excl, g_dot_c
+
+    def combine(carry, ci, sl, alpha, dx, dy, power, uncapped, log1m, excl,
+                g_dot_c):
+        t_run, prefix = carry  # (P, 1), (P, 1) running <g, prefix>
+        t_before = t_run * jnp.exp(excl)
+        live = t_before >= TRANSMITTANCE_EPS
+        alpha_t = jnp.where(live, alpha * t_before, 0.0)  # (P, CK)
         s = g_dot_c * alpha_t  # <g, contrib_k>
         prefix_k = prefix + _lane_cumsum(s, chunk, exclusive=False)
         suffix = g_dot_total - prefix_k  # <g, A_k>
@@ -235,7 +260,21 @@ def _composite_bwd_kernel(
 
     t_run = jnp.ones((p, 1), jnp.float32)
     prefix = jnp.zeros((p, 1), jnp.float32)
-    jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
+    if (k // chunk) % 2 == 0:
+        # Pairs (see forward): chunk B's carry-independent prep overlaps
+        # chunk A's combine; the tail chunk is all-zero padding (alpha 0,
+        # g_dot_c x 0), whose dgdat writes are exactly the pre-zeroed value.
+        def pair_body(pj, carry):
+            pa = prep(2 * pj)
+            pb = prep(2 * pj + 1)
+            return combine(combine(carry, *pa), *pb)
+
+        jax.lax.fori_loop(0, (num_chunks + 1) // 2, pair_body, (t_run, prefix))
+    else:
+        def body(ci, carry):
+            return combine(carry, *prep(ci))
+
+        jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
 
 
 def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
