@@ -177,3 +177,27 @@ class TestPallasComposite:
             extr, intr, near, far, (32, 32), means, cov, opac, cfg=PALLAS_CFG
         )
         np.testing.assert_allclose(float(depth[0, 16, 16]), 5.0, rtol=0.05)
+
+
+class TestPackBases:
+    def test_roundtrip_and_clamp(self):
+        from transplat_tpu.ops.rasterizer.pallas_binning import pack_bases
+
+        capacity = 1024
+        bases = jnp.array([[0, 3, 700, 1024, 1025, 90000, 5]], jnp.int32)
+        packed = np.asarray(pack_bases(bases, capacity))
+        # Unpack on the host exactly as _read_base does in-kernel.
+        flat = []
+        for word in packed:
+            flat.append(int(word) & 0xFFFF)
+            flat.append(int(word) >> 16)
+        expect = np.minimum(np.asarray(bases).reshape(-1), capacity + 1)
+        np.testing.assert_array_equal(np.asarray(flat[: expect.size]), expect)
+
+    def test_odd_length_padding(self):
+        from transplat_tpu.ops.rasterizer.pallas_binning import pack_bases
+
+        bases = jnp.arange(7, dtype=jnp.int32)
+        packed = np.asarray(pack_bases(bases, 16384))
+        assert packed.shape[0] == 4
+        assert (packed[-1] >> 16) == 0  # zero pad
