@@ -100,3 +100,54 @@ class TestDeformSampling:
         )(loc, weights)  # (Q, D, C)
         ref = jnp.einsum("qdc,qc->qd", sampled, keys)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+class TestScoresCustomVJP:
+    def _inputs(self, q=512, d=6, p=2, h=8, w=8):
+        scores = jax.random.normal(jax.random.PRNGKey(20), (q, h * w))
+        loc = jax.random.uniform(
+            jax.random.PRNGKey(21), (q, d, p, 2), minval=-0.1, maxval=1.1
+        )  # includes out-of-bounds corners
+        weights = jax.nn.softmax(
+            jax.random.normal(jax.random.PRNGKey(22), (q, d, p)), axis=-1
+        )
+        return scores, loc, weights, (h, w)
+
+    def test_gradients_match_gather_reference(self):
+        from transplat_tpu.ops.deform import deform_sample_scores_gather
+
+        scores, loc, weights, shape = self._inputs()
+        cot = jax.random.normal(
+            jax.random.PRNGKey(23), (scores.shape[0], loc.shape[1])
+        )
+
+        def loss(fn, s, l, a):
+            return jnp.sum(fn(s, shape, l, a) * cot)
+
+        g_ours = jax.grad(
+            lambda s, l, a: loss(deform_sample_scores, s, l, a), argnums=(0, 1, 2)
+        )(scores, loc, weights)
+        g_ref = jax.grad(
+            lambda s, l, a: loss(deform_sample_scores_gather, s, l, a),
+            argnums=(0, 1, 2),
+        )(scores, loc, weights)
+        for ours, ref, name in zip(g_ours, g_ref, ["scores", "loc", "attn"]):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(ref), atol=1e-4, err_msg=name
+            )
+
+    def test_gradients_match_gather_unchunked(self):
+        from transplat_tpu.ops.deform import deform_sample_scores_gather
+
+        scores, loc, weights, shape = self._inputs(q=64)
+
+        def loss(fn, s, l, a):
+            return jnp.sum(fn(s, shape, l, a) ** 2)
+
+        g_ours = jax.grad(
+            lambda s: loss(deform_sample_scores, s, loc, weights)
+        )(scores)
+        g_ref = jax.grad(
+            lambda s: loss(deform_sample_scores_gather, s, loc, weights)
+        )(scores)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=1e-4)

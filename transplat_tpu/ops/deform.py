@@ -23,6 +23,8 @@ align_corners=False, zero padding.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -89,6 +91,27 @@ def deform_sample_scores_gather(
     return jnp.sum(sampled * wgt * attn_weights[None], axis=(0, 3))
 
 
+def _corner_coords(loc01, h, w):
+    """loc01 (Q, DP, 2) -> integer corner indices + fractional weights."""
+    px = loc01[..., 0] * w - 0.5
+    py = loc01[..., 1] * h - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = (px - x0)[..., None]  # (Q, DP, 1)
+    wy = (py - y0)[..., None]
+    return x0.astype(jnp.int32)[..., None], y0.astype(jnp.int32)[..., None], wx, wy
+
+
+def _chunked(fn, args, q, q_chunk):
+    """lax.map fn over q-chunks of every arg (all chunked on axis 0)."""
+    if q % q_chunk == 0 and q > q_chunk:
+        nc = q // q_chunk
+        return jax.lax.map(
+            fn, tuple(x.reshape(nc, q_chunk, *x.shape[1:]) for x in args)
+        )
+    return fn(args)
+
+
 def deform_sample_scores(
     scores: jnp.ndarray,
     spatial_shape: tuple[int, int],
@@ -111,57 +134,124 @@ def deform_sample_scores(
     ~17M scalar gathers for the direct form (a ~40x wall-clock win on v5e).
     Zero-padding semantics match torch grid_sample (align_corners=False):
     out-of-range corner indices simply match no one-hot column.
+
+    The backward is a hand-written custom VJP in the same separable style
+    (two more batched matmuls + indicator reductions): XLA autodiff of this
+    formulation emits a ~35x-slower backward on TPU.
     """
+    return _scores_core(spatial_shape, q_chunk, scores, loc01, attn_weights)
+
+
+def _scores_fwd_chunk(d, p, h, w, args):
+    s_c, x0c, y0c, wxc, wyc, aw_c = args
+    iota_h = jnp.arange(h, dtype=jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    # Y: (QC, DP, H) with (1-wy) at y0 and wy at y0+1 (OOB rows vanish).
+    yw = jnp.where(iota_h == y0c, 1.0 - wyc, 0.0) + jnp.where(
+        iota_h == y0c + 1, wyc, 0.0
+    )
+    r = jnp.einsum(
+        "qdh,qhw->qdw", yw, s_c.reshape(-1, h, w),
+        preferred_element_type=jnp.float32,
+    )
+    xw = jnp.where(iota_w == x0c, 1.0 - wxc, 0.0) + jnp.where(
+        iota_w == x0c + 1, wxc, 0.0
+    )
+    sampled = jnp.sum(r * xw, axis=-1)  # (QC, DP)
+    return jnp.sum(sampled.reshape(-1, d, p) * aw_c, axis=-1)  # (QC, D)
+
+
+def _scores_bwd_chunk(d, p, h, w, args):
+    """Adjoint of _scores_fwd_chunk, in the same separable-matmul style.
+
+    Recompute-style: Y, X, R are rebuilt from the saved inputs (cheap
+    elementwise + one matmul) instead of being stored as residuals.
+    """
+    s_c, x0c, y0c, wxc, wyc, aw_c, gbar = args
+    qc = s_c.shape[0]
+    iota_h = jnp.arange(h, dtype=jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    s2d = s_c.reshape(qc, h, w)
+    yw = jnp.where(iota_h == y0c, 1.0 - wyc, 0.0) + jnp.where(
+        iota_h == y0c + 1, wyc, 0.0
+    )
+    xw = jnp.where(iota_w == x0c, 1.0 - wxc, 0.0) + jnp.where(
+        iota_w == x0c + 1, wxc, 0.0
+    )
+    r = jnp.einsum(
+        "qdh,qhw->qdw", yw, s2d, preferred_element_type=jnp.float32
+    )  # (QC, DP, W)
+    sampled = jnp.sum(r * xw, axis=-1)  # (QC, DP)
+
+    d_attn = gbar[..., None] * sampled.reshape(qc, d, p)  # (QC, D, P)
+    sbar = (gbar[..., None] * aw_c).reshape(qc, d * p, 1)  # d sampled
+    rbar = sbar * xw  # (QC, DP, W)
+    xbar = sbar * r
+    d_scores = jnp.einsum(
+        "qdh,qdw->qhw", yw, rbar, preferred_element_type=jnp.float32
+    ).reshape(qc, h * w)
+    ybar = jnp.einsum(
+        "qdw,qhw->qdh", rbar, s2d, preferred_element_type=jnp.float32
+    )
+    # d/d wy of Y = ind(y0+1) - ind(y0); OOB corners contribute nothing.
+    d_wy = jnp.sum(
+        ybar
+        * (
+            jnp.where(iota_h == y0c + 1, 1.0, 0.0)
+            - jnp.where(iota_h == y0c, 1.0, 0.0)
+        ),
+        axis=-1,
+    )  # (QC, DP)
+    d_wx = jnp.sum(
+        xbar
+        * (
+            jnp.where(iota_w == x0c + 1, 1.0, 0.0)
+            - jnp.where(iota_w == x0c, 1.0, 0.0)
+        ),
+        axis=-1,
+    )
+    # px = loc_x * w - 0.5 (floor has zero gradient a.e.).
+    d_loc = jnp.stack([d_wx * w, d_wy * h], axis=-1)  # (QC, DP, 2)
+    return d_scores, d_loc, d_attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _scores_core(spatial_shape, q_chunk, scores, loc01, attn_weights):
+    out, _ = _scores_core_fwd(spatial_shape, q_chunk, scores, loc01, attn_weights)
+    return out
+
+
+def _scores_core_fwd(spatial_shape, q_chunk, scores, loc01, attn_weights):
     q, hw = scores.shape
     h, w = spatial_shape
     d, p = loc01.shape[1:3]
-    dp = d * p
+    x0i, y0i, wx, wy = _corner_coords(loc01.reshape(q, d * p, 2), h, w)
+    out = _chunked(
+        functools.partial(_scores_fwd_chunk, d, p, h, w),
+        (scores, x0i, y0i, wx, wy, attn_weights),
+        q,
+        q_chunk,
+    )
+    return out.reshape(q, d), (scores, loc01, attn_weights)
 
-    loc = loc01.reshape(q, dp, 2)
-    px = loc[..., 0] * w - 0.5
-    py = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    wx = (px - x0)[..., None]  # (Q, DP, 1)
-    wy = (py - y0)[..., None]
-    x0i = x0.astype(jnp.int32)[..., None]
-    y0i = y0.astype(jnp.int32)[..., None]
 
-    iota_h = jnp.arange(h, dtype=jnp.int32)
-    iota_w = jnp.arange(w, dtype=jnp.int32)
+def _scores_core_bwd(spatial_shape, q_chunk, res, gbar):
+    scores, loc01, attn_weights = res
+    q, hw = scores.shape
+    h, w = spatial_shape
+    d, p = loc01.shape[1:3]
+    x0i, y0i, wx, wy = _corner_coords(loc01.reshape(q, d * p, 2), h, w)
+    d_scores, d_loc, d_attn = _chunked(
+        functools.partial(_scores_bwd_chunk, d, p, h, w),
+        (scores, x0i, y0i, wx, wy, attn_weights, gbar.reshape(q, d)),
+        q,
+        q_chunk,
+    )
+    return (
+        d_scores.reshape(q, hw),
+        d_loc.reshape(q, d, p, 2),
+        d_attn.reshape(q, d, p),
+    )
 
-    def chunk_fn(args):
-        s_c, x0c, y0c, wxc, wyc, aw_c = args
-        # Y: (QC, DP, H) with (1-wy) at y0 and wy at y0+1 (OOB rows vanish).
-        yw = jnp.where(iota_h == y0c, 1.0 - wyc, 0.0) + jnp.where(
-            iota_h == y0c + 1, wyc, 0.0
-        )
-        r = jnp.einsum(
-            "qdh,qhw->qdw", yw, s_c.reshape(-1, h, w),
-            preferred_element_type=jnp.float32,
-        )
-        xw = jnp.where(iota_w == x0c, 1.0 - wxc, 0.0) + jnp.where(
-            iota_w == x0c + 1, wxc, 0.0
-        )
-        sampled = jnp.sum(r * xw, axis=-1)  # (QC, DP)
-        return jnp.sum(sampled.reshape(-1, d, p) * aw_c, axis=-1)  # (QC, D)
 
-    if q % q_chunk == 0 and q > q_chunk:
-        nc = q // q_chunk
-
-        def reshape_c(x):
-            return x.reshape(nc, q_chunk, *x.shape[1:])
-
-        out = jax.lax.map(
-            chunk_fn,
-            (
-                reshape_c(scores),
-                reshape_c(x0i),
-                reshape_c(y0i),
-                reshape_c(wx),
-                reshape_c(wy),
-                reshape_c(attn_weights),
-            ),
-        )
-        return out.reshape(q, d)
-    return chunk_fn((scores, x0i, y0i, wx, wy, attn_weights))
+_scores_core.defvjp(_scores_core_fwd, _scores_core_bwd)
