@@ -6,6 +6,10 @@ Times projection+sort, hierarchical binning (fwd and fwd+bwd), and composite
 dispatch latency is reported alongside and subtracted in the "real" column.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -3,6 +3,10 @@ predictor / adapter), forward and forward+backward, to aim train-step
 optimization. Mirrors the reference's encoder_1..encoder_5 stage taxonomy
 (/root/reference/src/model/encoder/encoder_trans.py:183-319)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -6,6 +6,10 @@ optimizer update — so train-step optimization effort can be aimed. The axon
 tunnel costs ~25 ms per dispatch; the "real" column subtracts it.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

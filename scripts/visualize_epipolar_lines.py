@@ -10,6 +10,10 @@ Usage:
       --scene <key> --out outputs/epipolar
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 from __future__ import annotations
 
 import argparse
