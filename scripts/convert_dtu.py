@@ -8,11 +8,12 @@ camera rows into ~100MB chunks under <out>/test.
 Usage: python scripts/convert_dtu.py --input_dir <dtu_raw> --output_dir <out>
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -19,11 +19,12 @@ validation requires the actual checkpoints (absent in this zero-egress build).
 Run with --dry-run against a checkpoint to print unmatched keys.
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 from pathlib import Path

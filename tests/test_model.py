@@ -9,6 +9,8 @@ from transplat_tpu.model.encoder import EncoderCfg, EncoderTranSplat, map_pdf_to
 from transplat_tpu.model.types import Gaussians
 from transplat_tpu.ops.rasterizer.api import RasterizeConfig
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg():
     return EncoderCfg(

@@ -5,11 +5,14 @@ Mosaic on TPU.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from transplat_tpu.ops.rasterizer import render
 from transplat_tpu.ops.rasterizer.api import RasterizeConfig
+
+pytestmark = pytest.mark.slow
 
 REF_CFG = RasterizeConfig(mode="reference")
 TILED_FAST = RasterizeConfig(mode="tiled", binning="fast", capacity=512, chunk=64)

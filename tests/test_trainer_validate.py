@@ -1,6 +1,7 @@
 import dataclasses
 
 import jax
+import pytest
 
 from transplat_tpu.parallel.mesh import make_mesh
 
@@ -17,6 +18,8 @@ from transplat_tpu.model.decoder import DecoderCfg
 from transplat_tpu.model.encoder import EncoderCfg
 from transplat_tpu.ops.rasterizer.api import RasterizeConfig
 from transplat_tpu.training.trainer import Trainer
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_root_cfg(tmp_path):

@@ -17,6 +17,8 @@ from transplat_tpu.training.step import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow
+
 H = W = 16
 
 
