@@ -106,7 +106,20 @@ def window_attention(
 
     scores = jnp.einsum("nsqc,nskc->nsqk", qw, kw) / (c**0.5)
     if mask is not None:
-        scores = scores + jnp.tile(mask, (1, m))[None]
+        if multi:
+            # Reference quirk (multiview_transformer.py:109-131): for v>2 the
+            # keys are interleaved pixel-major (key position p = l*m + i for
+            # pixel l, other-view i) but the mask is tiled with plain
+            # ``repeat(1, m)`` so key p receives mask[(l*m + i) % wl] — a
+            # scrambled mask. Pretrained checkpoints were trained with this,
+            # so parity requires reproducing it. Our key order is view-major
+            # (p = i*wl + l); permute the tiled mask accordingly.
+            wl_ = mask.shape[-1]
+            i_idx, l_idx = np.divmod(np.arange(m * wl_), wl_)
+            perm = (l_idx * m + i_idx) % wl_
+            scores = scores + mask[:, :, perm][None]
+        else:
+            scores = scores + mask[None]
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nsqk,nskc->nsqc", attn, vw)
 
