@@ -22,11 +22,14 @@ else:
 
 
 @pytest.fixture(autouse=True)
-def _torch_determinism():
+def _torch_determinism(monkeypatch):
     import torch
 
     torch.manual_seed(0)
     torch.use_deterministic_algorithms(True)
+    # the reference forward calls torch.cuda.synchronize() unconditionally for
+    # timing fences (depth_predictor_trans.py:349 etc.); no-op it on CPU torch
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
     yield
 
 

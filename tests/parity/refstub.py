@@ -267,8 +267,15 @@ def install_stubs() -> None:
 
 
 def import_ref(name: str):
-    """Import a reference module (e.g. 'src.model.utils.attention')."""
+    """Import a reference module (e.g. 'src.model.utils.attention').
+
+    The reference has a src.model.utils <-> src.model.encoder import cycle
+    that only resolves when src.model.encoder initializes first; pre-import
+    it for any module inside the cycle.
+    """
     import importlib
 
     install_stubs()
+    if name.startswith(("src.model.utils", "src.model.encoder")):
+        importlib.import_module("src.model.encoder")
     return importlib.import_module(name)

@@ -1,8 +1,8 @@
 """Torch→Flax weight-conversion primitives.
 
-Layout rules (torch -> flax, all pure transposes):
+Layout rules (torch -> flax):
   Conv2d          weight (O, I, kh, kw) -> kernel (kh, kw, I, O)
-  ConvTranspose2d weight (I, O, kh, kw) -> kernel (kh, kw, I, O)
+  ConvTranspose2d weight (I, O, kh, kw) -> spatial flip, then (kh, kw, I, O)
   Linear          weight (O, I)         -> kernel (I, O)
   Norm layers     weight/bias           -> scale/bias
   BatchNorm       running_mean/var      -> batch_stats collection {mean, var}
@@ -18,7 +18,11 @@ def t2f_conv(w) -> np.ndarray:
 
 
 def t2f_convT(w) -> np.ndarray:
-    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+    # torch ConvTranspose2d correlates with the kernel flipped relative to
+    # lax.conv_transpose; flip spatial dims then (I,O,kh,kw)->(kh,kw,I,O).
+    # Verified numerically against torch for k=s and k!=s cases.
+    w = np.asarray(w)[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
 
 
 def t2f_linear(w) -> np.ndarray:

@@ -4,10 +4,9 @@ Mirrors /root/reference/src/depth_anything_v2/dinov2.py: patch-14 ViT with
 layer-scale (init 1.0), pre-norm blocks, interpolated position embeddings, and
 intermediate-layer extraction with the final LayerNorm applied.
 
-NOTE on position-embedding interpolation: torch uses bicubic (a=-0.75) with
-`scale_factor=(n/37 + 0.1/37)`; we use jax.image.resize bicubic to the target
-size. The difference is sub-1e-3 on the embedding and only matters for
-bit-exact weight-conversion parity; re-verify when converting checkpoints.
+Position-embedding interpolation reproduces torch exactly: bicubic a=-0.75
+with the DINOv2 interpolate_offset=0.1 scale_factor quirk
+(dinov2.py:183-194), via static separable matmuls (ops.interpolate).
 """
 
 from __future__ import annotations
@@ -15,9 +14,9 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
+from ...ops.interpolate import resize_bicubic_torch
 from ..layers import torch_default_init, trunc_normal_002
 
 
@@ -101,9 +100,14 @@ class DinoVisionTransformer(nn.Module):
 
         side = self.pretrain_img_size // self.patch_size
         if (ph, pw) != (side, side):
+            # torch F.interpolate(scale_factor=((ph+0.1)/side, (pw+0.1)/side),
+            # mode="bicubic") — the DINOv2 +0.1 offset changes sample
+            # positions slightly; reproduce it exactly (dinov2.py:183-194).
             patch_pos = pos_embed[:, 1:].reshape(1, side, side, self.embed_dim)
-            patch_pos = jax.image.resize(
-                patch_pos, (1, ph, pw, self.embed_dim), method="bicubic"
+            patch_pos = resize_bicubic_torch(
+                patch_pos,
+                (ph, pw),
+                scale=((ph + 0.1) / side, (pw + 0.1) / side),
             )
             patch_pos = patch_pos.reshape(1, ph * pw, self.embed_dim)
         else:

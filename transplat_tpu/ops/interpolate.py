@@ -100,6 +100,53 @@ def resize_bilinear(
     return out
 
 
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """torch's cubic convolution kernel (a = -0.75)."""
+    at = np.abs(t)
+    w = np.where(
+        at <= 1.0,
+        (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
+        np.where(at < 2.0, a * (at**3 - 5.0 * at**2 + 8.0 * at - 4.0), 0.0),
+    )
+    return w.astype(np.float64)
+
+
+def _resize_cubic_weights(n_in: int, n_out: int, scale: float | None) -> np.ndarray:
+    """Static (n_out, n_in) matrix reproducing torch F.interpolate bicubic
+    (align_corners=False, antialias=False) bit-for-bit-ish.
+
+    When torch is given scale_factor (not size), source positions use the
+    PROVIDED scale, not n_out/n_in — the DINOv2 pos-embed path relies on this
+    (+0.1 interpolate_offset, dinov2.py:183-194).
+    """
+    s = (n_out / n_in) if scale is None else scale
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) / s - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    w_mat = np.zeros((n_out, n_in), np.float64)
+    for tap in range(-1, 3):
+        wt = _cubic_kernel(frac - tap)
+        idx = np.clip(i0 + tap, 0, n_in - 1)
+        np.add.at(w_mat, (np.arange(n_out), idx), wt)
+    return w_mat.astype(np.float32)
+
+
+def resize_bicubic_torch(
+    x: jnp.ndarray,
+    out_shape: tuple[int, int],
+    scale: tuple[float, float] | None = None,
+) -> jnp.ndarray:
+    """Resize (..., H, W, C) with torch bicubic a=-0.75 semantics, as two
+    static-matrix matmuls (MXU-friendly, exactly differentiable)."""
+    *_, h, w, _ = x.shape
+    h2, w2 = out_shape
+    sh, sw = scale if scale is not None else (None, None)
+    wh = jnp.asarray(_resize_cubic_weights(h, h2, sh))
+    ww = jnp.asarray(_resize_cubic_weights(w, w2, sw))
+    out = jnp.einsum("ih,...hwc->...iwc", wh, x)
+    return jnp.einsum("jw,...iwc->...ijc", ww, out)
+
+
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """(..., H, W, C) -> (..., H*f, W*f, C), nearest neighbor."""
     x = jnp.repeat(x, factor, axis=-3)
