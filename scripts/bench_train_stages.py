@@ -61,7 +61,12 @@ def main():
     )
     model = EncoderTranSplat(cfg.encoder)
     lpips = LPIPS()
-    lpips_params = state.lpips_params
+    # Random-init LPIPS params: fine for timing (same FLOPs as calibrated).
+    lpips_params = jax.jit(lpips.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 256, 256, 3)),
+        jnp.zeros((1, 256, 256, 3)),
+    )["params"]
     dec_cfg = DecoderCfg()
     rng = jax.random.PRNGKey(2)
 

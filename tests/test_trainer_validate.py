@@ -67,6 +67,9 @@ class TestTrainerLoop:
         )
         assert "val_psnr" in metrics
         assert (tmp_path / "local" / "validation_00000002.png").exists()
+        # Rich media (ortho projections + wobble video) is saved per val.
+        assert (tmp_path / "local" / "projections_00000002.png").exists()
+        assert (tmp_path / "local" / "wobble_00000002.mp4").exists()
 
     def test_resume_from_checkpoint(self, tmp_path):
         cfg = tiny_root_cfg(tmp_path)

@@ -87,8 +87,11 @@ class TestTrainStep:
     def test_metrics_keys(self, setup):
         _, _, state, step_fn, batch = setup
         _, metrics = step_fn(state, to_device_batch(batch), jax.random.PRNGKey(3))
-        for key in ("loss", "mse", "lpips", "psnr", "grad_norm"):
+        for key in ("loss", "mse", "psnr", "grad_norm"):
             assert key in metrics
+        # LPIPS is gated until calibrated weights are loaded: no random-init
+        # noise gradient in the loss, no fake "lpips" metric.
+        assert "lpips" not in metrics
 
 
 class TestShardedTraining:

@@ -31,8 +31,10 @@ class OptimizerCfg:
 @dataclass
 class TrainerCfg:
     max_steps: int = 300_001
-    val_check_interval: float = 0.5
+    # <=1: fraction of max_steps between validations; >1: absolute steps.
+    val_check_interval: float = 0.05
     num_sanity_val_steps: int = 2
+    val_save_media: bool = True  # ortho projections + wobble video per val
     batch_size: int = 2  # per device
     seed: int = 111123
 
@@ -55,6 +57,8 @@ class TestCfg:
     save_image: bool = False
     save_video: bool = False
     evaluation_index: str | None = None
+    # Stage-resolved timing (encoder_1..4f taxonomy) via per-stage jits.
+    stage_timing: bool = False
 
 
 @dataclass

@@ -96,8 +96,18 @@ def main():
             if restored is not None:
                 state = restored
                 print(f"loaded checkpoint at step {int(state.step)}")
+        lpips_params = None
+        if cfg.checkpointing.lpips_weights:
+            import numpy as np
+
+            from .training.step import init_lpips_params
+
+            lpips_params = init_lpips_params(
+                tuple(cfg.dataset.image_shape),
+                np.load(cfg.checkpointing.lpips_weights, allow_pickle=True).item(),
+            )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        evaluator = Evaluator(cfg, variables, lpips_params=state.lpips_params)
+        evaluator = Evaluator(cfg, variables, lpips_params=lpips_params)
         scores = evaluator.run(max_scenes=args.max_scenes, save_images=cfg.test.save_image)
         print(json.dumps({k: v for k, v in list(scores.items())[:5]}, indent=2))
 

@@ -79,6 +79,12 @@ class EncoderTranSplat(nn.Module):
         return_aux: bool = False,
     ):
         cfg = self.cfg
+        if cfg.num_surfaces != 1:
+            raise NotImplementedError(
+                "num_surfaces > 1 is not implemented (the reference config "
+                "keeps the axis but every shipped experiment uses 1; "
+                "encoder_trans.py:127, gaussian_adapter.py:111-117)"
+            )
         b, v, h, w, _ = images.shape
 
         # 1. Full-resolution img->world matrices for the backbone SE encoder.

@@ -38,13 +38,40 @@ def make_optimizer(lr_schedule, grad_clip: float = 0.5):
     )
 
 
+def init_lpips_params(image_shape: tuple[int, int], torch_state: dict | None = None):
+    """LPIPS params: random-init structure + converted torch weights.
+
+    Returns None when no calibrated weights are given — a random-init LPIPS is
+    a noise gradient in the loss and a meaningless metric, so the trainer and
+    evaluator skip LPIPS entirely until scripts/convert_weights.py --kind
+    lpips provides real weights.
+    """
+    if torch_state is None:
+        return None
+    from ..loss.vgg import load_lpips_weights
+
+    lpips = LPIPS()
+    variables = jax.jit(lpips.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *image_shape, 3)),
+        jnp.zeros((1, *image_shape, 3)),
+    )
+    return load_lpips_weights(variables, torch_state)["params"]
+
+
 def create_train_state(
     rng: jax.Array,
     encoder_cfg: EncoderCfg,
     optimizer,
     batch_example: dict,
+    lpips_params=None,
 ) -> TrainState:
-    """Initialize model + LPIPS variables from a (host) example batch."""
+    """Initialize model variables from a (host) example batch.
+
+    lpips_params: converted LPIPS weights (init_lpips_params) or None to train
+    without the perceptual term (reference trains with it, but only because it
+    ships calibrated weights — loss_lpips.py:27-54).
+    """
     model = EncoderTranSplat(encoder_cfg)
     ctx = batch_example["context"]
     # jit the inits: un-jitted flax init runs op-by-op (thousands of
@@ -59,14 +86,6 @@ def create_train_state(
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-
-    tgt_shape = batch_example["target"]["image"].shape
-    lpips = LPIPS()
-    lpips_params = jax.jit(lpips.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, *tgt_shape[-3:])),
-        jnp.zeros((1, *tgt_shape[-3:])),
-    )["params"]
 
     opt_state = optimizer.init(params)
     return TrainState(
@@ -130,10 +149,15 @@ def make_train_step(
             tgt["far"],
             image_shape,
             cfg=decoder_cfg,
+            mesh=mesh,
         )
 
-        def lpips_fn(a, b):
-            return lpips.apply({"params": lpips_params}, a, b)
+        if lpips_params is None:
+            lpips_fn = None  # uncalibrated: skip the perceptual term entirely
+        else:
+
+            def lpips_fn(a, b):
+                return lpips.apply({"params": lpips_params}, a, b)
 
         total, parts = compute_losses(
             loss_cfg, out.color, tgt["image"], step, lpips_fn=lpips_fn

@@ -51,9 +51,13 @@ class Trainer:
         )
         self._val_fn = None
 
-    def validate(self, state, batch, out_dir: str = "outputs/local") -> dict:
-        """Render a validation batch and save a context | GT | prediction grid
-        (the LocalLogger media path, model_wrapper.py:532-613)."""
+    def validate(
+        self, state, batch, out_dir: str = "outputs/local", save_media: bool | None = None
+    ) -> dict:
+        """Render a validation batch; save the context | GT | prediction grid
+        plus the rich media set (ortho Gaussian projection with camera frusta
+        and a wobble-trajectory video), mirroring the reference's validation
+        logging (model_wrapper.py:532-613, 713-790)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -63,9 +67,11 @@ class Trainer:
         from ..utils.image_io import save_image
         from ..visualization.layout import add_label, hcat, vcat
 
+        if save_media is None:
+            save_media = self.cfg.trainer.val_save_media
+        image_shape = tuple(self.cfg.dataset.image_shape)
         if self._val_fn is None:
             model = EncoderTranSplat(self.cfg.encoder)
-            image_shape = tuple(self.cfg.dataset.image_shape)
 
             def fn(params, batch_stats, ctx, tgt):
                 variables = {"params": params, "batch_stats": batch_stats}
@@ -73,16 +79,28 @@ class Trainer:
                     variables, ctx["image"], ctx["intrinsics"], ctx["extrinsics"],
                     ctx["near"], ctx["far"],
                 )
-                return decode_splatting(
+                color = decode_splatting(
                     gaussians, tgt["extrinsics"], tgt["intrinsics"],
                     tgt["near"], tgt["far"], image_shape, cfg=self.cfg.decoder,
                 ).color
+                return color, gaussians
+
+            def render_fn(params, batch_stats, ctx, extr, intr, near, far):
+                variables = {"params": params, "batch_stats": batch_stats}
+                gaussians = model.apply(
+                    variables, ctx["image"], ctx["intrinsics"], ctx["extrinsics"],
+                    ctx["near"], ctx["far"],
+                )
+                return decode_splatting(
+                    gaussians, extr, intr, near, far, image_shape, cfg=self.cfg.decoder,
+                ).color
 
             self._val_fn = jax.jit(fn)
+            self._val_render_fn = jax.jit(render_fn)
 
         ctx = {k: jnp.asarray(v) for k, v in batch["context"].items() if k != "index"}
         tgt = {k: jnp.asarray(v) for k, v in batch["target"].items() if k != "index"}
-        color = self._val_fn(state.params, state.batch_stats, ctx, tgt)
+        color, gaussians = self._val_fn(state.params, state.batch_stats, ctx, tgt)
         psnr = float(jnp.mean(compute_psnr(tgt["image"].reshape(-1, *tgt["image"].shape[-3:]),
                                            color.reshape(-1, *color.shape[-3:]))))
 
@@ -95,7 +113,94 @@ class Trainer:
             add_label(pred_row, f"prediction (psnr {psnr:.2f})"),
         )
         save_image(grid, Path(out_dir) / f"validation_{self.global_step:08d}.png")
+        if save_media:
+            self._save_validation_media(state, ctx, gaussians, out_dir)
         return {"val_psnr": psnr}
+
+    def _save_validation_media(self, state, ctx, gaussians, out_dir: str) -> None:
+        """Ortho projections with camera frusta + a wobble video
+        (reference validation_in_3d.py:25-115, wobble.py)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..model.types import Gaussians
+        from ..utils.image_io import save_image, save_video
+        from ..visualization.layout import add_label, hcat
+        from ..visualization.trajectory import generate_wobble
+        from ..visualization.validation_3d import draw_cameras, render_orthographic
+
+        g0 = Gaussians(
+            means=gaussians.means[:1],
+            covariances=gaussians.covariances[:1],
+            harmonics=gaussians.harmonics[:1],
+            opacities=gaussians.opacities[:1],
+        )
+        means = np.asarray(g0.means[0])
+        lo, hi = np.percentile(means, [2, 98], axis=0)
+        center, extent = (lo + hi) / 2, float((hi - lo).max()) + 1e-3
+
+        # Three axis-aligned orthographic views through the cloud center.
+        looks = []
+        for name, rot in (
+            ("xy", np.eye(3)),
+            ("xz", np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0.0]])),
+            ("yz", np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0.0]])),
+        ):
+            e = np.eye(4)
+            e[:3, :3] = rot
+            e[:3, 3] = center - rot[:, 2] * extent
+            looks.append((name, e))
+        extr = jnp.asarray(np.stack([e for _, e in looks]))
+        ortho = np.asarray(
+            render_orthographic(
+                Gaussians(
+                    means=jnp.broadcast_to(g0.means, (3, *g0.means.shape[1:])),
+                    covariances=jnp.broadcast_to(g0.covariances, (3, *g0.covariances.shape[1:])),
+                    harmonics=jnp.broadcast_to(g0.harmonics, (3, *g0.harmonics.shape[1:])),
+                    opacities=jnp.broadcast_to(g0.opacities, (3, *g0.opacities.shape[1:])),
+                ),
+                extr,
+                width=extent,
+                height=extent,
+                near=0.0,
+                far=2.0 * extent,
+                image_shape=(128, 128),
+                cfg=self.cfg.decoder.rasterize,
+            )
+        )
+        cams = np.asarray(ctx["extrinsics"][0])
+        fx = 0.5 / np.tan(np.radians(0.05))
+        view_intr = np.array([[fx, 0, 0.5], [0, fx, 0.5], [0, 0, 1.0]])
+        panels = []
+        for i, (name, e) in enumerate(looks):
+            img = draw_cameras(ortho[i], cams, e, view_intr, frustum_depth=0.2 * extent)
+            panels.append(add_label(img, f"ortho {name}"))
+        save_image(
+            hcat(*panels), Path(out_dir) / f"projections_{self.global_step:08d}.png"
+        )
+
+        # Wobble-trajectory video around context camera 0.
+        n_frames = 14
+        t = np.sin(np.linspace(0.0, 2.0 * np.pi, n_frames, endpoint=False)) * 0.5 + 0.5
+        origin_a = np.asarray(ctx["extrinsics"][0, 0, :3, 3])
+        origin_b = np.asarray(ctx["extrinsics"][0, -1, :3, 3])
+        radius = float(np.linalg.norm(origin_a - origin_b)) * 0.25 + 1e-3
+        wobble = generate_wobble(np.asarray(ctx["extrinsics"][0, 0]), radius, t)
+        ctx0 = {k: v[:1] for k, v in ctx.items()}
+        frames = []
+        for f in range(n_frames):
+            extr_f = jnp.asarray(wobble[f])[None, None]
+            frame = self._val_render_fn(
+                state.params,
+                state.batch_stats,
+                ctx0,
+                extr_f,
+                ctx0["intrinsics"][:, :1],
+                ctx0["near"][:, :1],
+                ctx0["far"][:, :1],
+            )
+            frames.append(np.asarray(frame[0, 0]))
+        save_video(frames, Path(out_dir) / f"wobble_{self.global_step:08d}.mp4", fps=7)
 
     def _log_metrics(self, record: dict, path: str = "outputs/metrics.jsonl") -> None:
         """Append-only JSONL metric log (the wandb-less observability path)."""
@@ -132,10 +237,27 @@ class Trainer:
             loader = DataLoader(epochs(), cfg.trainer.batch_size)
             data_iter = iter(loader)
 
-        # Initialize from the first batch.
+        # Initialize from the first batch. LPIPS joins the loss only with
+        # calibrated converted weights (random-init LPIPS is a noise term).
+        lpips_params = None
+        if cfg.checkpointing.lpips_weights:
+            from .step import init_lpips_params
+
+            torch_state = np.load(
+                cfg.checkpointing.lpips_weights, allow_pickle=True
+            ).item()
+            lpips_params = init_lpips_params(
+                tuple(cfg.dataset.image_shape), torch_state
+            )
+            self.log(f"loaded LPIPS weights from {cfg.checkpointing.lpips_weights}")
+
         first = next(data_iter)
         state = create_train_state(
-            jax.random.PRNGKey(cfg.trainer.seed), cfg.encoder, self.optimizer, first
+            jax.random.PRNGKey(cfg.trainer.seed),
+            cfg.encoder,
+            self.optimizer,
+            first,
+            lpips_params=lpips_params,
         )
         restored = self.ckpt.restore(state)
         if restored is not None:
@@ -145,6 +267,14 @@ class Trainer:
             state = jax.device_put(restored, replicated(self.mesh))
             self.global_step = int(state.step)
             self.log(f"resumed from step {self.global_step}")
+
+        # Sanity validation + interval schedule (the reference's Lightning
+        # num_sanity_val_steps / val_check_interval, main.yaml:69-70).
+        v = cfg.trainer.val_check_interval
+        val_interval = max(1, int(v if v > 1 else v * max_steps))
+        for _ in range(max(0, cfg.trainer.num_sanity_val_steps)):
+            metrics = self.validate(state, first)
+            self.log(f"sanity validation: psnr={metrics['val_psnr']:.2f}")
 
         rng = jax.random.PRNGKey(cfg.trainer.seed + 1)
         batch = first
@@ -170,6 +300,9 @@ class Trainer:
                     f"psnr={metrics.get('psnr', 0):.2f} ({dt / 50:.3f}s/it)"
                 )
                 self._log_metrics({"step": self.global_step, "s_per_it": dt / 50, **metrics})
+            if self.global_step % val_interval == 0:
+                val_metrics = self.validate(state, batch)
+                self._log_metrics({"step": self.global_step, **val_metrics})
             self.ckpt.maybe_save(self.global_step, state)
 
             try:
