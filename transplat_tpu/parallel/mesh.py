@@ -37,6 +37,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """device_put a pytree of host arrays with the batch axis over dp."""
+    """Assemble a global device batch from host arrays, batch axis over dp.
+
+    Single-process: a plain device_put. Multi-host: each process holds only
+    its local batch slice (the data pipeline stripes chunks per process, the
+    reference's per-rank generator seeding, data_module.py:83-88), so the
+    global array is assembled with make_array_from_process_local_data —
+    no cross-host data movement, each host feeds its own chips.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
