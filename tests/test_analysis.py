@@ -47,3 +47,82 @@ class TestAnalysis:
             "depth_consistency_overall",
         ):
             assert 0.0 <= out[key] <= 1.0
+
+
+class TestStagedEncoder:
+    def test_staged_encoder_matches_fused(self):
+        """The stage-by-stage profiling driver (evaluation/staged.py) must
+        produce exactly the fused encoder's Gaussians."""
+        import jax
+
+        from transplat_tpu.dataset.loader import synthetic_batch
+        from transplat_tpu.evaluation.staged import StagedEncoder, STAGES
+        from transplat_tpu.model.encoder import EncoderTranSplat
+        from transplat_tpu.utils.benchmarker import Benchmarker
+        import __graft_entry__ as entry
+
+        cfg = entry._flagship_cfg(tiny=True)
+        batch = synthetic_batch(0, batch_size=1, image_shape=(16, 16), num_target=1)
+        ctx = {k: jnp.asarray(v) for k, v in batch["context"].items()}
+        model = EncoderTranSplat(cfg)
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), ctx["image"], ctx["intrinsics"],
+            ctx["extrinsics"], ctx["near"], ctx["far"],
+        ))()
+        fused = jax.jit(lambda: model.apply(
+            variables, ctx["image"], ctx["intrinsics"], ctx["extrinsics"],
+            ctx["near"], ctx["far"],
+        ))()
+
+        bench = Benchmarker()
+        staged = StagedEncoder(cfg, variables)
+        gaussians, aux = staged.run(ctx, benchmarker=bench)
+
+        np.testing.assert_allclose(
+            np.asarray(gaussians.means), np.asarray(fused.means), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gaussians.opacities), np.asarray(fused.opacities),
+            rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gaussians.harmonics), np.asarray(fused.harmonics),
+            rtol=2e-5, atol=2e-5,
+        )
+        # Full reference taxonomy recorded (model_wrapper.py:381-395).
+        for stage in STAGES:
+            assert stage in bench.execution_times, stage
+
+
+class TestPhaseSummary:
+    def test_phase_summary_from_benchmark(self, tmp_path):
+        """scripts/analyze_phase_summary groups the evaluator's taxonomy into
+        the fork's 4 phases (generate_phase_summary.py equivalent)."""
+        import importlib.util
+        import json
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "analyze_phase_summary", "scripts/analyze_phase_summary.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        from transplat_tpu.evaluation.staged import STAGES
+        from transplat_tpu.utils.benchmarker import Benchmarker
+
+        bench = Benchmarker()
+        for i, stage in enumerate(STAGES + ["decoder"]):
+            with bench.time(stage):
+                pass
+            bench.execution_times[stage] = [0.001 * (i + 1)]
+
+        dump = {"summary": bench.summarize()}
+        phases = mod.summarize(dump)
+        assert set(phases) == {
+            "Feature Extraction", "Depth Prediction",
+            "Gaussian Generation", "Decoder",
+        }
+        total_share = sum(p["share"] for p in phases.values())
+        np.testing.assert_allclose(total_share, 1.0, atol=1e-6)
+        assert phases["Depth Prediction"]["mean_ms"] > phases["Feature Extraction"]["mean_ms"]

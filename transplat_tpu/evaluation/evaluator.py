@@ -51,6 +51,14 @@ class Evaluator:
         self._encode = jax.jit(encode)
         self._decode = jax.jit(decode)
 
+        # Stage-resolved profiling (reference taxonomy encoder_1..4f..5,
+        # model_wrapper.py:381-395) via separately-jitted stage functions.
+        self._staged = None
+        if getattr(cfg.test, "stage_timing", False):
+            from .staged import StagedEncoder
+
+            self._staged = StagedEncoder(cfg.encoder, variables)
+
     def make_dataset(self, stage: str = "test"):
         index_path = self.cfg.test.evaluation_index
         sampler = ViewSamplerEvaluation(index_path)
@@ -59,13 +67,16 @@ class Evaluator:
     def evaluate_batch(self, batch: dict) -> dict:
         ctx, tgt = batch["context"], batch["target"]
         with self.benchmarker.time("encoder"):
-            gaussians = self._encode(
-                jnp.asarray(ctx["image"]),
-                jnp.asarray(ctx["intrinsics"]),
-                jnp.asarray(ctx["extrinsics"]),
-                jnp.asarray(ctx["near"]),
-                jnp.asarray(ctx["far"]),
-            )
+            if self._staged is not None:
+                gaussians, _ = self._staged.run(ctx, benchmarker=self.benchmarker)
+            else:
+                gaussians = self._encode(
+                    jnp.asarray(ctx["image"]),
+                    jnp.asarray(ctx["intrinsics"]),
+                    jnp.asarray(ctx["extrinsics"]),
+                    jnp.asarray(ctx["near"]),
+                    jnp.asarray(ctx["far"]),
+                )
             jax.block_until_ready(gaussians.means)
         tv = tgt["image"].shape[1]
         with self.benchmarker.time("decoder", num_calls=tv):
@@ -162,5 +173,8 @@ class Evaluator:
             json.dump(avg, f, indent=2)
         self.benchmarker.dump(
             out_dir / "benchmark.json", skip_first=self.cfg.test.eval_time_skip_steps
+        )
+        self.benchmarker.print_table(
+            skip_first=self.cfg.test.eval_time_skip_steps
         )
         print("averaged scores:", avg)
