@@ -9,6 +9,14 @@ estimate for the reference's CUDA diff-gaussian-rasterization on RTX 3090 at
 this workload (~3-6 ms per 256^2 render+backward at 131k Gaussians; the
 reference repo publishes no rasterizer numbers — BASELINE.md — so re-measure
 when reference hardware is available).
+
+Timing methodology: `inner` fwd+bwd steps are chained on-device inside one
+jitted lax.fori_loop (each iteration consumes the previous gradients, so
+steps are serialized and cannot be elided), and the loop is dispatched
+`outer` times. This measures device throughput the same way the CUDA
+baseline is measured (CUDA events around kernels, locally-attached GPU) —
+excluding this dev environment's ~25 ms/dispatch remote-tunnel RPC latency,
+which production TPU runtimes (~100 us dispatch) do not have.
 """
 
 import json
@@ -67,7 +75,26 @@ def main():
         out = render(extr, intr, near, far, (h, w), bg, means, cov, sh, opac, cfg=cfg)
         return jnp.sum(out.color**2)
 
-    fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3))
+
+    inner = 8
+
+    @jax.jit
+    def chained(means, cov, sh, opac):
+        # Serialize `inner` fwd+bwd steps on-device: each step's means are
+        # perturbed by the previous gradients (scaled to keep the workload
+        # distribution unchanged), so XLA cannot overlap or elide steps.
+        def body(_, carry):
+            means, cov, sh, opac = carry
+            g_means, g_cov, g_sh, g_opac = grad_fn(means, cov, sh, opac)
+            return (
+                means + 1e-30 * g_means,
+                cov + 1e-30 * g_cov,
+                sh + 1e-30 * g_sh,
+                opac + 1e-30 * g_opac,
+            )
+
+        return jax.lax.fori_loop(0, inner, body, (means, cov, sh, opac))
 
     def sync(tree):
         # block_until_ready is a no-op on the axon tunnel backend; a host
@@ -75,16 +102,16 @@ def main():
         return float(jax.tree.leaves(tree)[0].ravel()[0])
 
     # Warmup / compile.
-    sync(fwd_bwd(means, cov, sh, opac))
+    sync(chained(means, cov, sh, opac))
 
-    iters = 10
+    outer = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        grads = fwd_bwd(means, cov, sh, opac)
-        sync(grads)
+    for _ in range(outer):
+        out = chained(means, cov, sh, opac)
+        sync(out)
     dt = time.perf_counter() - t0
 
-    mpix_s = b * h * w * iters / dt / 1e6
+    mpix_s = b * h * w * inner * outer / dt / 1e6
     print(
         json.dumps(
             {

@@ -120,7 +120,7 @@ def main():
         return composite_pallas(
             gdat[:, :, : cfg.capacity],
             jnp.minimum(counts, cfg.capacity).reshape(-1),
-            ts, ntx, ntx // 4, num_tiles, cfg.chunk, False,
+            ts, ntx, ntx // 4, num_tiles, cfg.chunk, False, 3,
         )
 
     def comp_grad(gdat, counts):
@@ -161,6 +161,24 @@ def main():
 
     rows = []
     rows.append(("project+sort fwd", *timeit(project_sort_j, means, cov, sh, opac, iters=args.iters)))
+
+    def ps_grad(means, cov, sh, opac):
+        def loss(means, cov, sh, opac):
+            return jnp.sum(project_sort(means, cov, sh, opac) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(means, cov, sh, opac)
+
+    rows.append(("project+sort fwd+bwd", *timeit(jax.jit(ps_grad), means, cov, sh, opac, iters=args.iters)))
+
+    def bc_grad(feat):
+        def loss(feat):
+            gd, counts = binning(feat)
+            acc, tfin = comp(gd, counts)
+            return jnp.sum(acc**2) + jnp.sum(tfin**2)
+
+        return jax.grad(loss)(feat)
+
+    rows.append(("bin+comp fwd+bwd", *timeit(jax.jit(bc_grad), feat, iters=args.iters)))
     rows.append(("binning fwd", *timeit(binning_j, feat, iters=args.iters)))
     rows.append(("binning fwd+bwd", *timeit(jax.jit(bin_grad), feat, iters=args.iters)))
     rows.append(("composite fwd", *timeit(jax.jit(comp), gdat, counts, iters=args.iters)))

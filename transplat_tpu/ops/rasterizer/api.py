@@ -35,9 +35,9 @@ class RasterizeConfig:
     mode: str = "auto"  # "auto" | "pallas" | "tiled" | "reference"
     binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
-    stream_window: int = 16384  # Gaussians per binning-kernel grid window
+    stream_window: int = 4096  # Gaussians per binning-kernel grid window
     supertile_capacity: int = 16384  # phase-1 worklist size (hierarchical bin)
-    bin_chunk: int = 256  # Gaussians per binning inner chunk (<=256: exact bf16)
+    bin_chunk: int = 128  # Gaussians per binning inner chunk (<=256: exact bf16)
 
     def resolved_mode(self) -> str:
         if self.mode != "auto":
@@ -209,11 +209,13 @@ def render(
         if pad:
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad)))
 
+        c_stream = 3 if feature is None else feature.shape[-1]
+        f_route = 7 + c_stream  # live worklist rows (geometry + colors)
         hierarchical = ntx % 4 == 0 and nty % 4 == 0 and num_tiles >= 64
         if hierarchical:
             gdat, counts, sup_counts = bin_hierarchical(
                 feat, ts, ntx, nty, cfg.capacity, bcg, window,
-                cfg.supertile_capacity, cfg.interpret,
+                cfg.supertile_capacity, cfg.interpret, f_route=f_route,
             )
             sntx = ntx // 4
             overflow = (
@@ -224,20 +226,21 @@ def render(
             ).astype(jnp.int32)
         else:
             gdat, counts = bin_single_level(
-                feat, ts, ntx, nty, cfg.capacity, bcg, window, cfg.interpret
+                feat, ts, ntx, nty, cfg.capacity, bcg, window, cfg.interpret,
+                f_route=f_route,
             )
             sntx = 0
             overflow = jnp.sum(
                 jnp.maximum(counts - cfg.capacity, 0), axis=1
             ).astype(jnp.int32)
 
+        p = ts * ts
+        c_out = 3 if feature is None else feature.shape[-1]
         acc, tfin = composite_pallas(
             gdat[:, :, : cfg.capacity],
             jnp.minimum(counts, cfg.capacity).reshape(-1),
-            ts, ntx, sntx, num_tiles, cfg.chunk, cfg.interpret,
+            ts, ntx, sntx, num_tiles, cfg.chunk, cfg.interpret, c_out,
         )
-        p = ts * ts
-        c_out = 3 if feature is None else feature.shape[-1]
         acc = acc.reshape(b, num_tiles, p, 8)[..., :c_out]
         tfin = tfin.reshape(b, num_tiles, p)
         out = acc + tfin[..., None] * background[:, None, None, :]

@@ -7,13 +7,17 @@ scatter-free, gather-free formulation that maps onto TPU matmul hardware:
 
   * the depth-sorted Gaussian stream [F, G] (feature-major: F=16 sublanes x G
     lanes) is swept in chunks of CG lanes; a chunk's coverage mask against a
-    GROUP of tiles is turned into per-tile compaction offsets by ONE
-    triangular-matrix matmul, and the compacted write becomes a one-hot
+    GROUP of tiles is turned into per-tile compaction offsets by a
+    triangular-matrix matmul — ONE (2CG, cpw*group) matmul per WINDOW plans
+    all cpw chunks at once — and the compacted write becomes a one-hot
     matmul into a 128-aligned window of each tile's worklist
   * per-(tile, chunk) worklist base offsets are precomputed in XLA (one
-    coverage reduce + cumsum over chunks) and passed via scalar prefetch:
-    the kernel's inner loop carries NO cross-iteration vector state and
-    reads only SMEM scalars, so Mosaic can pipeline chunks freely
+    coverage reduce + cumsum over chunks) and passed via scalar prefetch;
+    the cpw chunk bodies per window are STATICALLY UNROLLED (every slice
+    offset is compile-time), so Mosaic schedules MXU routing against VPU
+    one-hot staging across chunks with no loop-carried state
+  * only the f_route live feature rows (7 geometry + C color) are routed:
+    MXU streaming cycles scale with M = 3*f_route (30 for RGB, not 48)
   * two levels (64px supertiles -> 16px tiles) keep the per-level target
     fan-out at <=16, bounding total routing work
 
@@ -44,6 +48,11 @@ from .mxu import split3_bf16
 from .pallas_composite import F
 
 _ALIGN = 128  # Mosaic lane alignment for dynamic worklist windows
+
+# Mosaic's default scoped-vmem limit is 16 MB; v5e has 128 MB of physical
+# VMEM. The unrolled kernels' live temporaries (routing scratches + the
+# worklist group block) need headroom beyond the default.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 # Debug/profiling hook (scripts/bench_binning.py): truncate the forward chunk
 # body after a given stage to attribute kernel time. Trace-time constant;
@@ -171,25 +180,10 @@ def _plan_matrix(cg: int):
     return (tri | eye).astype(jnp.float32)
 
 
-def _chunk_plan(sl, txs, tys, te, tile_size, group, cg):
-    """Coverage + compaction offsets for one chunk against `group` targets.
-
-    Returns excl_s (CG, group), mask_s (CG, group) — sublane-oriented.
-    Exact: all matmul inputs are 0/1 (bf16-exact), accumulation is f32.
-    """
-    cover = _covers(
-        sl[0:1, :], sl[1:2, :], sl[5:6, :], txs, tys, tile_size
-    ).astype(jnp.float32)  # (group, CG)
-    pe = jax.lax.dot_general(
-        te, cover, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (2CG, group)
-    return pe[:cg], pe[cg:]
-
-
 def _bin_fwd_kernel(
-    trips_ref, bases_ref, feat_ref, gdat_ref, oh_ref, oh2_ref,
+    trips_ref, bases_ref, feat_ref, pfeat_ref, gdat_ref, oh_ref, oh2_ref,
     *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
+    f_route,
 ):
     i = pl.program_id(0)
     w = pl.program_id(1)
@@ -204,17 +198,27 @@ def _bin_fwd_kernel(
         i, group, layout=layout, ntx=ntx, sntx=sntx, ng=ng, nsup=nsup,
         tile_size=tile_size,
     )
-    te = _plan_matrix(cg)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
-    def plan(ci):
-        off = pl.multiple_of(ci * cg, cg)
-        sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
-        sl3 = split3_bf16(sl)  # (3F, CG) bf16
-        excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
-        return sl, sl3, excl_s, mask_s
+    # Batched window plan: ONE (2CG, cpw*group) matmul computes every chunk's
+    # compaction offsets and lane->sublane coverage transpose for the whole
+    # window (the per-chunk te matmul streamed M = 2CG rows per chunk — ~1 us
+    # each; batched, the same M is amortized over cpw chunks). Requires the
+    # stream's mx/my/r rows pre-chunked to (cpw, CG) sublane layout, which
+    # XLA prepares (pfeat) — a free relayout at trace level.
+    pf = pfeat_ref[0]  # (3*cpw, CG)
+    cover3 = _covers(
+        pf[0:cpw][:, None, :], pf[cpw : 2 * cpw][:, None, :],
+        pf[2 * cpw : 3 * cpw][:, None, :],
+        txs[None, :, :], tys[None, :, :], tile_size,
+    ).astype(jnp.float32)  # (cpw, group, CG)
+    pe_all = jax.lax.dot_general(
+        _plan_matrix(cg), cover3.reshape(cpw * group, cg),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2CG, cpw * group): rows [:CG] excl counts, [CG:] coverage mask
 
-    def stage_onehot(ci, excl_s, mask_s, oh):
+    def stage_onehot(ci, oh):
         # Stage every target's routing one-hot into one scratch matrix (its
         # lane blocks are disjoint) so the whole group routes with ONE matmul
         # instead of `group` small ones. The coverage mask is folded into the
@@ -226,18 +230,30 @@ def _bin_fwd_kernel(
             bidx = (i * group + k) * ncp1 + cbase
             bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
             frac = (bq - (bq // _ALIGN) * _ALIGN).astype(jnp.float32)
-            rel = frac + excl_s[:, k : k + 1]  # (CG, 1), exact integers
-            rel = jnp.where(mask_s[:, k : k + 1] > 0.5, rel, -1.0)
+            rel = frac + pe_all[0:cg, ci * group + k : ci * group + k + 1]
+            rel = jnp.where(
+                pe_all[cg:, ci * group + k : ci * group + k + 1] > 0.5,
+                rel, -1.0,
+            )
             oh[:, k * nbw : (k + 1) * nbw] = (
                 cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
 
-    def route(sl3, oh):
+    def route(ci, oh):
+        # Only the f_route live feature rows are routed: M = 3*f_route rows
+        # (30 for RGB) instead of 3*F = 48 — MXU streaming cycles scale with
+        # M, and the dead padding rows routed nothing but zeros.
+        sl = feat_ref[0, 0:f_route, ci * cg : (ci + 1) * cg]
+        sl3 = split3_bf16(sl)  # (3*f_route, CG) bf16
         routed = jax.lax.dot_general(
             sl3, oh[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (3F, group * nbw)
-        return routed[:F] + routed[F : 2 * F] + routed[2 * F :]
+        )  # (3*f_route, group * nbw)
+        return (
+            routed[:f_route]
+            + routed[f_route : 2 * f_route]
+            + routed[2 * f_route :]
+        )
 
     def store(ci, contrib):
         cbase = w * cpw + ci
@@ -254,68 +270,66 @@ def _bin_fwd_kernel(
             # Only the first 128-block can hold earlier chunks' entries
             # (their writes end at b0 < w0 + 128, since worklist offsets are
             # monotone in the chunk sweep); the rest of the window was never
-            # touched — plain stores, no RMW.
-            gdat_ref[k, :, pl.ds(w0, _ALIGN)] += ck[:, :_ALIGN]
-            gdat_ref[k, :, pl.ds(w0 + _ALIGN, nbw - _ALIGN)] = ck[:, _ALIGN:]
-
-    if ABLATE == "full" and cpw % 2 == 0:
-        # Software-pipelined pairs: the VPU one-hot staging of chunk B is
-        # independent of the MXU routing matmul of chunk A (separate
-        # scratches), so the VLIW scheduler can overlap them. Iterations
-        # carry no vector state, and a beyond-trips tail chunk routes only
-        # zeros (no coverage gain) or overflow-region junk — both harmless —
-        # so rounding the trip count up to a whole pair is exact.
-        def pair_body(pj, _):
-            ca = 2 * pj
-            cb = ca + 1
-            _, sl3a, ea, ma = plan(ca)
-            _, sl3b, eb, mb = plan(cb)
-            stage_onehot(ca, ea, ma, oh_ref)
-            ctr_a = route(sl3a, oh_ref)
-            stage_onehot(cb, eb, mb, oh2_ref)
-            ctr_b = route(sl3b, oh2_ref)
-            store(ca, ctr_a)
-            store(cb, ctr_b)
-            return 0
-
-        trips = trips_ref[i * nw + w]
-        jax.lax.fori_loop(0, (trips + 1) // 2, pair_body, 0)
-        return
-
-    def chunk_body(ci, _):
-        if ABLATE == "empty":
-            gdat_ref[0, 0:1, 0:128] = jnp.full((1, 128), ci, jnp.float32)
-            return 0
-        off = pl.multiple_of(ci * cg, cg)
-        sl = feat_ref[0, :, pl.ds(off, cg)]  # (F, CG)
-        if ABLATE == "dma":
-            gdat_ref[0, :, 0:cg] += sl
-            return 0
-        _, sl3, excl_s, mask_s = plan(ci)
-        if ABLATE == "plan":
-            gdat_ref[0, :, 0:cg] += jnp.sum(excl_s + mask_s) + sl
-            return 0
-        stage_onehot(ci, excl_s, mask_s, oh_ref)
-        if ABLATE == "onehot":
-            # Consume the one-hot with a 1-row matmul (~1/48 of the real
-            # routing cost) so it isn't dead-code-eliminated.
-            r1 = jax.lax.dot_general(
-                sl3[0:1], oh_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            # touched — plain stores, no RMW. Rows f_route..F stay zero from
+            # the w == 0 initialization.
+            gdat_ref[k, 0:f_route, pl.ds(w0, _ALIGN)] += ck[:, :_ALIGN]
+            gdat_ref[k, 0:f_route, pl.ds(w0 + _ALIGN, nbw - _ALIGN)] = (
+                ck[:, _ALIGN:]
             )
-            gdat_ref[0, 0:1, 0:cg] += r1[:, 0:cg]
-            return 0
-        store(ci, route(sl3, oh_ref))
-        return 0
 
-    jax.lax.fori_loop(0, trips_ref[i * nw + w], chunk_body, 0)
+    # Statically-unrolled chunk sweep in software-pipelined PAIRS: every
+    # slice (stream, pe_all columns, one-hot blocks) has a compile-time
+    # offset, and within a pair's straight-line body Mosaic overlaps chunk
+    # A's MXU routing matmul with chunk B's VPU one-hot staging (disjoint
+    # scratches). One predicate per pair keeps branches off the hot path;
+    # a beyond-trips tail chunk has no coverage (all-zero one-hot), so its
+    # stores are exact no-ops.
+    trips = trips_ref[i * nw + w]
+    if ABLATE != "full":
+        for ci in range(cpw):
+            @pl.when(ci < trips)
+            def _(ci=ci):
+                if ABLATE == "empty":
+                    gdat_ref[0, 0:1, 0:128] = jnp.full((1, 128), ci, jnp.float32)
+                    return
+                if ABLATE == "dma":
+                    gdat_ref[0, :, 0:cg] += feat_ref[0, :, ci * cg : (ci + 1) * cg]
+                    return
+                if ABLATE == "plan":
+                    gdat_ref[0, 0:1, 0:cg] += (
+                        jnp.sum(pe_all)
+                        + feat_ref[0, 0:1, ci * cg : (ci + 1) * cg]
+                    )
+                    return
+                stage_onehot(ci, oh_ref)
+                r1 = jax.lax.dot_general(
+                    split3_bf16(feat_ref[0, 0:1, ci * cg : (ci + 1) * cg]),
+                    oh_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gdat_ref[0, 0:1, 0:cg] += r1[0:1, 0:cg]
+        return
+    for pj in range(pl.cdiv(cpw, 2)):
+        ca, cb = 2 * pj, 2 * pj + 1
+
+        @pl.when(ca < trips)
+        def _(ca=ca, cb=cb):
+            stage_onehot(ca, oh_ref)
+            ctr_a = route(ca, oh_ref)  # async MXU ...
+            if cb < cpw:
+                stage_onehot(cb, oh2_ref)  # ... overlaps this VPU staging
+                ctr_b = route(cb, oh2_ref)
+            store(ca, ctr_a)
+            if cb < cpw:
+                store(cb, ctr_b)
 
 
 def _bin_bwd_kernel(
-    trips_ref, bases_ref, feat_ref, dgdat_ref, dfeat_ref, oh_ref, dwin_ref,
-    oh2_ref, dwin2_ref,
+    trips_ref, bases_ref, feat_ref, pfeat_ref, dgdat_ref, dfeat_ref, oh_ref,
+    dwin_ref, oh2_ref, dwin2_ref,
     *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
+    f_route,
 ):
     i = pl.program_id(0)
     w = pl.program_id(1)
@@ -329,8 +343,20 @@ def _bin_bwd_kernel(
         i, group, layout=layout, ntx=ntx, sntx=sntx, ng=ng, nsup=nsup,
         tile_size=tile_size,
     )
-    te = _plan_matrix(cg)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
+
+    # Batched window plan (see _bin_fwd_kernel).
+    pf = pfeat_ref[0]  # (3*cpw, CG)
+    cover3 = _covers(
+        pf[0:cpw][:, None, :], pf[cpw : 2 * cpw][:, None, :],
+        pf[2 * cpw : 3 * cpw][:, None, :],
+        txs[None, :, :], tys[None, :, :], tile_size,
+    ).astype(jnp.float32)
+    pe_all = jax.lax.dot_general(
+        _plan_matrix(cg), cover3.reshape(cpw * group, cg),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2CG, cpw * group)
 
     def stage(ci, oh, dwin):
         # Stage one-hots AND cotangent windows for the whole group, then pull
@@ -338,57 +364,50 @@ def _bin_bwd_kernel(
         # (disjoint blocks -> the sum over targets happens inside the matmul).
         # Both scratches must be written unconditionally: a stale NaN times a
         # zero one-hot would still poison the product.
-        off = pl.multiple_of(ci * cg, cg)
-        sl = feat_ref[0, :, pl.ds(off, cg)]
-        excl_s, mask_s = _chunk_plan(sl, txs, tys, te, tile_size, group, cg)
         cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
             bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
             w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
             frac = (bq - w0).astype(jnp.float32)
-            rel = frac + excl_s[:, k : k + 1]
-            rel = jnp.where(mask_s[:, k : k + 1] > 0.5, rel, -1.0)
+            rel = frac + pe_all[0:cg, ci * group + k : ci * group + k + 1]
+            rel = jnp.where(
+                pe_all[cg:, ci * group + k : ci * group + k + 1] > 0.5,
+                rel, -1.0,
+            )
             oh[:, k * nbw : (k + 1) * nbw] = (
                 cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
-            dwin[:, k * nbw : (k + 1) * nbw] = dgdat_ref[k, :, pl.ds(w0, nbw)]
+            dwin[:, k * nbw : (k + 1) * nbw] = dgdat_ref[
+                k, 0:f_route, pl.ds(w0, nbw)
+            ]
 
     def pull(ci, oh, dwin):
-        off = pl.multiple_of(ci * cg, cg)
-        dwin3 = split3_bf16(dwin[...])  # (3F, group * nbw)
+        dwin3 = split3_bf16(dwin[...])  # (3*f_route, group * nbw)
         back = jax.lax.dot_general(
             dwin3, oh[...], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (3F, CG)
-        dfeat_ref[0, :, pl.ds(off, cg)] = (
-            back[:F] + back[F : 2 * F] + back[2 * F :]
+        )  # (3*f_route, CG)
+        dfeat_ref[0, 0:f_route, ci * cg : (ci + 1) * cg] = (
+            back[:f_route]
+            + back[f_route : 2 * f_route]
+            + back[2 * f_route :]
         )
 
-    if cpw % 2 == 0:
-        # Software-pipelined pairs (see _bin_fwd_kernel): chunk B's VPU
-        # staging is independent of chunk A's MXU pull. A beyond-trips tail
-        # chunk writes a zero dfeat slice (zero one-hot or zero dgdat in the
-        # overflow junk region) — identical to the pre-zeroed output.
-        def pair_body(pj, _):
-            ca = 2 * pj
-            cb = ca + 1
+    # Pairs, as in the forward: chunk B's VPU staging overlaps chunk A's MXU
+    # pull. A beyond-trips tail chunk writes a zero dfeat slice (zero one-hot
+    # against whatever dgdat holds) — identical to the pre-zeroed output.
+    trips = trips_ref[i * nw + w]
+    for pj in range(pl.cdiv(cpw, 2)):
+        ca, cb = 2 * pj, 2 * pj + 1
+
+        @pl.when(ca < trips)
+        def _(ca=ca, cb=cb):
             stage(ca, oh_ref, dwin_ref)
-            pull(ca, oh_ref, dwin_ref)  # async MXU …
-            stage(cb, oh2_ref, dwin2_ref)  # … overlaps this VPU staging
-            pull(cb, oh2_ref, dwin2_ref)
-            return 0
-
-        trips = trips_ref[i * nw + w]
-        jax.lax.fori_loop(0, (trips + 1) // 2, pair_body, 0)
-        return
-
-    def chunk_body(ci, _):
-        stage(ci, oh_ref, dwin_ref)
-        pull(ci, oh_ref, dwin_ref)
-        return 0
-
-    jax.lax.fori_loop(0, trips_ref[i * nw + w], chunk_body, 0)
+            pull(ca, oh_ref, dwin_ref)  # async MXU ...
+            if cb < cpw:
+                stage(cb, oh2_ref, dwin2_ref)  # ... overlaps this VPU staging
+                pull(cb, oh2_ref, dwin2_ref)
 
 
 # --------------------------------------------------------------------------
@@ -401,6 +420,21 @@ def _static(kw):
         tile_size=kw["tile_size"], ntx=kw["ntx"], sntx=kw["sntx"],
         ng=kw["ng"], nsup=kw["nsup"], layout=kw["layout"], group=kw["group"],
         cg=kw["cg"], capacity=kw["capacity"], cpw=kw["cpw"], ncp1=kw["ncp1"],
+        f_route=kw["f_route"],
+    )
+
+
+def _plan_feat(stream, nw, cpw, cg):
+    """Chunk the mx/my/r stream rows to (N*NW, 3*cpw, CG) sublane layout for
+    the kernels' batched window planning (an XLA relayout, ~free)."""
+    n = stream.shape[0]
+    sel = jnp.stack(
+        [stream[:, 0], stream[:, 1], stream[:, 5]], axis=1
+    )  # (N, 3, W_total)
+    return (
+        sel.reshape(n, 3, nw, cpw, cg)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n * nw, 3 * cpw, cg)
     )
 
 
@@ -420,7 +454,12 @@ def _fwd_call(stream, bases, trips, interpret, **kw):
                 (1, f, window),
                 lambda i, w, *_: (i // ng, 0, w),
                 memory_space=pltpu.VMEM,
-            )
+            ),
+            pl.BlockSpec(
+                (1, 3 * cpw, cg),
+                lambda i, w, *_: (i // ng * nw + w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (group, f, width), lambda i, w, *_: (i, 0, 0),
@@ -436,12 +475,14 @@ def _fwd_call(stream, bases, trips, interpret, **kw):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * ng * group, f, width), jnp.float32),
         interpret=interpret,
-    )(trips.reshape(-1), bases, stream)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(trips.reshape(-1), bases, stream, _plan_feat(stream, nw, cpw, cg))
 
 
 def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
     n, f, window_total = stream.shape
     ng, group, cg, cpw = kw["ng"], kw["group"], kw["cg"], kw["cpw"]
+    f_route = kw["f_route"]
     window = cpw * cg
     nw = window_total // window
     width = kw["capacity"] + cg + _ALIGN
@@ -457,6 +498,11 @@ def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
+                (1, 3 * cpw, cg),
+                lambda i, w, *_: (i // ng * nw + w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (group, f, width), lambda i, w, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -466,9 +512,9 @@ def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
         ),
         scratch_shapes=[
             pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
-            pltpu.VMEM((f, group * nbw), jnp.float32),
+            pltpu.VMEM((f_route, group * nbw), jnp.float32),
             pltpu.VMEM((cg, group * nbw), jnp.bfloat16),
-            pltpu.VMEM((f, group * nbw), jnp.float32),
+            pltpu.VMEM((f_route, group * nbw), jnp.float32),
         ],
     )
     # Per-group partial cotangents; caller sums over the ng axis.
@@ -477,7 +523,8 @@ def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * ng, f, window_total), jnp.float32),
         interpret=interpret,
-    )(trips.reshape(-1), bases, stream, dgdat)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(trips.reshape(-1), bases, stream, _plan_feat(stream, nw, cpw, cg), dgdat)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -521,12 +568,13 @@ def _frozen(**kw):
     return tuple(sorted(kw.items()))
 
 
-def _pick_group(num_tiles: int, width: int, budget_bytes: int = 21 << 18) -> int:
+def _pick_group(num_tiles: int, width: int, budget_bytes: int = 18 << 20) -> int:
     """Largest divisor of num_tiles (<=16) whose worklist group fits VMEM.
 
-    The budget (~5.25 MB) accounts for Mosaic double-buffering the group
-    block across grid cells, the stream window, and the plan constants
-    within the ~16 MB scoped-VMEM limit."""
+    The budget (18 MB) allows a full group=16 at the phase-1 supertile width
+    (one stream sweep instead of ng=4): v5e has 128 MB of physical VMEM and
+    the kernels raise Mosaic's scoped-vmem limit (_VMEM_LIMIT) accordingly —
+    the 16 MB default limit only fits group=4 at that width."""
     for g in (16, 8, 4, 2, 1):
         if num_tiles % g == 0 and g * F * width * 4 <= budget_bytes:
             return g
@@ -534,11 +582,13 @@ def _pick_group(num_tiles: int, width: int, budget_bytes: int = 21 << 18) -> int
 
 
 def bin_single_level(
-    feat, tile_size, ntx, nty, capacity, cg, window, interpret
+    feat, tile_size, ntx, nty, capacity, cg, window, interpret, f_route=15
 ):
     """One-level binning (small images): gdat in raster tile order + counts.
 
     feat: (B, F, G) depth-sorted feature-major, G a multiple of `window`.
+    f_route: number of live feature rows (7 geometry + color channels); rows
+    beyond it are left zero in the worklists.
     Returns gdat (B*T, F, width), counts (B, T) int32.
     """
     assert capacity % _ALIGN == 0 and cg % _ALIGN == 0 and cg <= 256
@@ -558,7 +608,7 @@ def bin_single_level(
     static = _frozen(
         tile_size=tile_size, ntx=ntx, sntx=0, ng=ng, nsup=0, layout="raster",
         group=group, cg=cg, capacity=capacity, cpw=cpw,
-        ncp1=bases.shape[-1],
+        ncp1=bases.shape[-1], f_route=f_route,
     )
     gdat = bin_targets(
         feat, pack_bases(bases, capacity), trips, interpret, static
@@ -576,6 +626,7 @@ def bin_hierarchical(
     window: int,
     supertile_capacity: int,
     interpret: bool,
+    f_route: int = 15,
 ):
     """Two-level binning: 4x4-tile supertiles, then per-supertile tiles.
 
@@ -608,7 +659,7 @@ def bin_hierarchical(
     static1 = _frozen(
         tile_size=4 * tile_size, ntx=sntx, sntx=0, ng=ng1, nsup=0,
         layout="raster", group=group1, cg=cg, capacity=k1, cpw=cpw,
-        ncp1=bases1.shape[-1],
+        ncp1=bases1.shape[-1], f_route=f_route,
     )
     sup = bin_targets(
         feat, pack_bases(bases1, k1), trips1, interpret, static1
@@ -629,13 +680,16 @@ def bin_hierarchical(
     bases2 = chunk_bases(
         jax.lax.stop_gradient(parents), tx0, ty0, tile_size, cg
     )  # (B*S, 16, NC2+1)
-    trips2 = (
-        (jnp.minimum(sup_counts.reshape(-1), k1) + cg - 1) // cg
-    ).reshape(b * nsup, 1).astype(jnp.int32)
+    # Phase-2 sweeps are windowed like phase 1 (the kernels statically unroll
+    # cpw chunk bodies per window); per-window trips skip empty tails of the
+    # parent worklists.
+    window2 = min(window, k1)
+    cpw2 = window2 // cg
+    trips2 = window_trips(jnp.minimum(bases2, capacity + 1), 1, 16, cpw2)
     static2 = _frozen(
         tile_size=tile_size, ntx=ntx, sntx=sntx, ng=1, nsup=nsup,
-        layout="sub4x4", group=16, cg=cg, capacity=capacity, cpw=k1 // cg,
-        ncp1=bases2.shape[-1],
+        layout="sub4x4", group=16, cg=cg, capacity=capacity, cpw=cpw2,
+        ncp1=bases2.shape[-1], f_route=f_route,
     )
     gdat = bin_targets(
         parents, pack_bases(bases2, capacity), trips2, interpret, static2

@@ -9,17 +9,14 @@ produced by the binning kernels in a feature-major layout gdat[B*T, F, K]
 each 16x16-pixel tile against its K Gaussians in lane-sized chunks:
 
   forward:  alpha from the conic quadratic form, transmittance via a lane
-            cumsum in log space (exclusive cumprod), color accumulation as a
-            [P, CK] x [CK, 8] MXU matmul.
+            cumsum in log space (exclusive cumprod, Hillis-Steele VPU scan),
+            color accumulation as c_out per-channel VPU FMAs + lane reduces
+            (only the statically-known live channels are computed).
   backward: a second forward sweep; the suffix sum the CUDA kernel gathers
             back-to-front is obtained from the identity
             suffix_k = <g, out_total> - <g, prefix_k>, so no reverse pass is
-            needed. Feature gradients reduce over pixels on the MXU.
-
-MXU numerics (the hardware truncates f32 matmul inputs to bf16): cumsums of
-log-transmittance use the exact 3-way bf16 split (mxu.split3_bf16) against
-the 0/1 triangular matrix; value x value products (color accumulation and
-all backward reductions) use the ~2^-18 two-way split (mxu.dot_g).
+            needed. Feature gradients reduce over pixels on the MXU
+            (mxu.dot_g, ~2^-18 two-way split — M = 3*c_out rows only).
 
 Feature rows of gdat: 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
 5 radius, 6 opacity, 7.. color channels (padded to F=16 rows; invalid
@@ -68,7 +65,10 @@ def _lane_cumsum(x, chunk: int, exclusive: bool):
 
     Exact to f32 accumulation: x is split 3-way into bf16 parts
     (mxu.split3_bf16) and the 0/1 triangular matrix is bf16-exact, so the
-    MXU's bf16 passes accumulate the true f32 sum.
+    MXU's bf16 passes accumulate the true f32 sum. Runs on the MXU so it
+    overlaps the VPU alpha/color work of the paired chunk (a VPU
+    Hillis-Steele scan measured SLOWER end-to-end: it serialized the whole
+    chunk body on the VPU port).
 
     Computed block-hierarchically in 128-lane blocks: each block's local
     prefix is one (3P, 128) x (128, 128) matmul (full MXU lane utilization,
@@ -122,6 +122,7 @@ def _chunk_alpha(sl, px, py):
 def _composite_fwd_kernel(
     counts_ref, gdat_ref, acc_ref, tfin_ref,
     *, tile_size: int, ntx: int, sntx: int, num_tiles: int, chunk: int,
+    c_out: int,
 ):
     p = tile_size * tile_size
     k = gdat_ref.shape[2]
@@ -141,13 +142,19 @@ def _composite_fwd_kernel(
         return sl, alpha, log1m, excl
 
     def combine(carry, sl, alpha, log1m, excl):
-        t_run, acc = carry  # (P, 1) linear transmittance; (P, 8)
+        t_run, acc = carry  # (P, 1) linear transmittance; (P, c_out)
         t_before = t_run * jnp.exp(excl)  # exclusive cumprod
         live = t_before >= TRANSMITTANCE_EPS
         contrib = jnp.where(live, alpha * t_before, 0.0)
-        rgb = sl[7:15, :]  # (8, CK); unused rows are zero padding
-        acc = acc + dot_g(
-            contrib, rgb, dimension_numbers=(((1,), (1,)), ((), ()))
+        # Per-channel VPU FMA + lane reduce: only the c_out live channels are
+        # computed (the MXU path streamed M = 3P rows against 8 padded
+        # channels — ~4x the cycles for c_out=3), exact in f32.
+        acc = acc + jnp.concatenate(
+            [
+                jnp.sum(contrib * sl[7 + ch : 8 + ch, :], axis=1, keepdims=True)
+                for ch in range(c_out)
+            ],
+            axis=1,
         )
         # Freeze t once a pixel saturates (oracle convention: t_final stops
         # multiplying below TRANSMITTANCE_EPS) — also what the backward's
@@ -158,7 +165,7 @@ def _composite_fwd_kernel(
         return t_run, acc
 
     t_run = jnp.ones((p, 1), jnp.float32)
-    acc = jnp.zeros((p, 8), jnp.float32)
+    acc = jnp.zeros((p, c_out), jnp.float32)
     if (k // chunk) % 2 == 0:
         # Pairs: chunk B's prep is carry-independent, so its MXU cumsum
         # overlaps chunk A's VPU combine. A beyond-count tail chunk is
@@ -177,13 +184,14 @@ def _composite_fwd_kernel(
             return combine(carry, *prep(ci))
 
         t_run, acc = jax.lax.fori_loop(0, num_chunks, body, (t_run, acc))
-    acc_ref[0] = acc
+    acc_ref[0] = jnp.pad(acc, ((0, 0), (0, 8 - c_out)))
     tfin_ref[0] = t_run.reshape(1, p)
 
 
 def _composite_bwd_kernel(
     counts_ref, gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
     *, tile_size: int, ntx: int, sntx: int, num_tiles: int, chunk: int,
+    c_out: int,
 ):
     p = tile_size * tile_size
     k = gdat_ref.shape[2]
@@ -196,21 +204,24 @@ def _composite_bwd_kernel(
     # The untouched tail must still produce zero gradients.
     dgdat_ref[...] = jnp.zeros(dgdat_ref.shape, dgdat_ref.dtype)
 
-    g = gacc_ref[0]  # (P, 8) cotangent of acc
+    g = gacc_ref[0][:, :c_out]  # (P, c_out) cotangent of the live channels
     g_tfin = gtfin_ref[0].reshape(p, 1)
     t_final = tfinres_ref[0].reshape(p, 1)
     # <g, out_total> per pixel (padding rows of acc are zero).
-    g_dot_total = jnp.sum(g * accres_ref[0], axis=1, keepdims=True)  # (P, 1)
+    g_dot_total = jnp.sum(
+        g * accres_ref[0][:, :c_out], axis=1, keepdims=True
+    )  # (P, 1)
 
     def prep(ci):
-        # Carry-independent per-chunk work (VPU alpha, MXU cumsum + <g, c_k>).
+        # Carry-independent per-chunk work (VPU alpha + cumsum + <g, c_k>).
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
         excl = _lane_cumsum(log1m, chunk, exclusive=True)
-        rgb = sl[7:15, :]
-        # <g, c_k> per pixel-gaussian: (P, CK).
-        g_dot_c = dot_g(g, rgb, dimension_numbers=(((1,), (0,)), ((), ())))
+        # <g, c_k> per pixel-gaussian: (P, CK), c_out VPU broadcast-FMAs.
+        g_dot_c = sum(
+            g[:, ch : ch + 1] * sl[7 + ch : 8 + ch, :] for ch in range(c_out)
+        )
         return ci, sl, alpha, dx, dy, power, uncapped, log1m, excl, g_dot_c
 
     def combine(carry, ci, sl, alpha, dx, dy, power, uncapped, log1m, excl,
@@ -230,7 +241,7 @@ def _composite_bwd_kernel(
             0.0,
         )
 
-        # d color: sum over pixels of g[p, :] * alpha_t[p, k] -> (8, CK).
+        # d color: sum over pixels of g[p, :] * alpha_t[p, k] -> (c_out, CK).
         d_rgb = dot_g(g, alpha_t, dimension_numbers=(((0,), (0,)), ((), ())))
 
         # Chain through alpha = opac * exp(power) (capped & masked).
@@ -250,7 +261,8 @@ def _composite_bwd_kernel(
             axis=0,
         )  # (7, CK)
         dgdat_ref[0, 0:7, pl.ds(ci * chunk, chunk)] = dg_top
-        dgdat_ref[0, 7:15, pl.ds(ci * chunk, chunk)] = d_rgb
+        # Channels >= c_out keep the pre-zeroed value (never written).
+        dgdat_ref[0, 7 : 7 + c_out, pl.ds(ci * chunk, chunk)] = d_rgb
 
         t_run = t_run * jnp.exp(
             jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
@@ -277,13 +289,14 @@ def _composite_bwd_kernel(
         jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
 
 
-def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
+def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret,
+              c_out):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_fwd_kernel,
         tile_size=tile_size, ntx=ntx, sntx=sntx, num_tiles=num_tiles,
-        chunk=chunk,
+        chunk=chunk, c_out=c_out,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -311,14 +324,14 @@ def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
 
 def _bwd_call(
     gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, sntx,
-    num_tiles, chunk, interpret,
+    num_tiles, chunk, interpret, c_out,
 ):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_bwd_kernel,
         tile_size=tile_size, ntx=ntx, sntx=sntx, num_tiles=num_tiles,
-        chunk=chunk,
+        chunk=chunk, c_out=c_out,
     )
 
     def spec(shape):
@@ -343,27 +356,33 @@ def _bwd_call(
     )(counts, gdat, gacc, gtfin, accres, tfinres)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def composite_pallas(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def composite_pallas(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk,
+                     interpret, c_out=8):
     """gdat: (B*T, F, K), counts: (B*T,) int32 worklist lengths
     -> (acc (B*T, P, 8), t_final (B*T, 1, P)). sntx=0 for raster tile order,
-    ntx//4 for supertile-major (sub4x4) order."""
-    return _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret)
+    ntx//4 for supertile-major (sub4x4) order. c_out: number of live color
+    channels (static); acc channels >= c_out are zero."""
+    return _fwd_call(
+        gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret, c_out
+    )
 
 
-def _vjp_fwd(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret):
+def _vjp_fwd(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret,
+             c_out):
     acc, tfin = _fwd_call(
-        gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret
+        gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret, c_out
     )
     return (acc, tfin), (gdat, counts, acc, tfin)
 
 
-def _vjp_bwd(tile_size, ntx, sntx, num_tiles, chunk, interpret, residuals, cotangents):
+def _vjp_bwd(tile_size, ntx, sntx, num_tiles, chunk, interpret, c_out,
+             residuals, cotangents):
     gdat, counts, acc, tfin = residuals
     gacc, gtfin = cotangents
     dgdat = _bwd_call(
         gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, sntx, num_tiles,
-        chunk, interpret,
+        chunk, interpret, c_out,
     )
     return (dgdat, None)
 

@@ -105,6 +105,7 @@ def make_train_step(
     image_shape: tuple[int, int],
     donate: bool = True,
     mesh=None,
+    lr_schedule=None,
 ):
     model = EncoderTranSplat(encoder_cfg)
     lpips = LPIPS()
@@ -187,6 +188,9 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        if lr_schedule is not None:
+            # LearningRateMonitor parity (reference src/main.py:103-108).
+            metrics["lr"] = lr_schedule(state.step)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

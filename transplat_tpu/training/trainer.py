@@ -45,6 +45,7 @@ class Trainer:
             self.optimizer,
             tuple(cfg.dataset.image_shape),
             mesh=self.mesh,
+            lr_schedule=schedule,
         )
         self.ckpt = CheckpointManager(
             cfg.checkpointing.save_dir, cfg.checkpointing.every_n_train_steps
@@ -225,6 +226,14 @@ class Trainer:
     def fit(self, data_iter=None, max_steps: int | None = None):
         cfg = self.cfg
         max_steps = max_steps if max_steps is not None else cfg.trainer.max_steps
+
+        # Run-config snapshot (the reference dumps the resolved config to the
+        # wandb run, main.py:74-94; this is the tracker-less equivalent).
+        import dataclasses, json as _json
+
+        p = Path("outputs/config.json")
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(_json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
         if data_iter is None:
             dataset = self.make_dataset("train")
