@@ -118,7 +118,7 @@ def main():
 
     def comp(gdat, counts):
         return composite_pallas(
-            gdat[:, :, : cfg.capacity],
+            gdat,
             jnp.minimum(counts, cfg.capacity).reshape(-1),
             ts, ntx, ntx // 4, num_tiles, cfg.chunk, False, 3,
         )

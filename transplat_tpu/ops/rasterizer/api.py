@@ -236,8 +236,13 @@ def render(
 
         p = ts * ts
         c_out = 3 if feature is None else feature.shape[-1]
+        # Full-width worklists go straight into the composite: counts are
+        # clamped to capacity (a multiple of chunk), so the sweep never
+        # reaches the [capacity, width) overflow region — and skipping the
+        # slice avoids a ~134 MB copy forward plus its pad in the backward.
+        assert cfg.capacity % cfg.chunk == 0
         acc, tfin = composite_pallas(
-            gdat[:, :, : cfg.capacity],
+            gdat,
             jnp.minimum(counts, cfg.capacity).reshape(-1),
             ts, ntx, sntx, num_tiles, cfg.chunk, cfg.interpret, c_out,
         )

@@ -699,21 +699,29 @@ def bin_hierarchical(
 
 
 @jax.custom_vjp
-def _permute_rows(feat, order, inv_order):
-    """feat[order] with a gather-only VJP.
+def _permute_rows(feat, order):
+    """feat[order] with a sort-based VJP.
 
     XLA's autodiff of a gather is a scatter-add (~150 ms at 131k x 16 f32 on
-    v5e); since `order` is a permutation, the cotangent is exactly
-    g[inv_order] — another fast gather."""
+    v5e). Since `order` is a permutation, the cotangent is g[inv_order] — but
+    a row GATHER of 131k x 16 runs at only ~5 GB/s on TPU (scalar-core
+    driven, ~26 ms at the flagship shape). Sorting the cotangent rows by
+    `order` produces exactly the same permutation through the vectorized
+    sort network instead: ~5 ms measured — 5x faster than the gather."""
     return feat[order]
 
 
-def _permute_rows_fwd(feat, order, inv_order):
-    return feat[order], inv_order
+def _permute_rows_fwd(feat, order):
+    return feat[order], order
 
 
 def _permute_rows_bwd(res, g):
-    return g[res], None, None
+    order = res
+    f = g.shape[1]
+    ops = jax.lax.sort(
+        (order,) + tuple(g[:, i] for i in range(f)), num_keys=1
+    )
+    return jnp.stack(ops[1:], axis=-1), None
 
 
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
@@ -727,7 +735,6 @@ def build_sorted_features(proj, feature=None):
     live = proj.valid & (proj.radius > 0.0)
     depth_key = jnp.where(live, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key).astype(jnp.int32)
-    inv_order = jnp.argsort(order).astype(jnp.int32)
 
     g = proj.mean2d.shape[0]
     big = jnp.float32(1e9)
@@ -743,4 +750,4 @@ def build_sorted_features(proj, feature=None):
     cols.extend(color[:, i] for i in range(c))
     cols.extend(jnp.zeros((g,), jnp.float32) for _ in range(F - 7 - c))
     feat = jnp.stack(cols, axis=-1)  # (G, F)
-    return _permute_rows(feat, order, inv_order).T  # (F, G)
+    return _permute_rows(feat, order).T  # (F, G)
