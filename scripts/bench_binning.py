@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from transplat_tpu.geometry.projection import get_fov
 from transplat_tpu.ops.rasterizer.api import RasterizeConfig
 from transplat_tpu.ops.rasterizer.pallas_binning import (
-    bin_hierarchical,
+    bin_tree,
     build_sorted_features,
     chunk_bases,
+    level_caps,
+    tree_plan,
 )
 from transplat_tpu.ops.rasterizer.pallas_composite import composite_pallas
 from transplat_tpu.ops.rasterizer.projection import project_gaussians
@@ -53,8 +55,8 @@ def main():
     ap.add_argument("--gaussians", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ablate", action="store_true")
-    ap.add_argument("--bin-chunk", type=int, default=256)
-    ap.add_argument("--window", type=int, default=16384)
+    ap.add_argument("--bin-chunk", type=int, default=128)
+    ap.add_argument("--window", type=int, default=4096)
     args = ap.parse_args()
 
     b, g = args.views, args.gaussians
@@ -84,6 +86,9 @@ def main():
     ts = cfg.tile_size
     ntx = nty = 256 // ts
     num_tiles = ntx * nty
+    levels = tree_plan(nty, ntx)
+    caps = level_caps(levels, g, ts, nty, ntx, cfg.capacity, cfg.bin_chunk)
+    print("levels:", levels, "caps:", caps)
 
     def project_sort(means, cov, sh, opac):
         def one(e, i, m, c, s, o):
@@ -100,9 +105,9 @@ def main():
     window = args.window
 
     def binning(feat):
-        gdat, counts, _sup = bin_hierarchical(
-            feat, ts, ntx, nty, cfg.capacity, cfg.bin_chunk, window,
-            cfg.supertile_capacity, False,
+        gdat, counts, _ovf = bin_tree(
+            feat, ts, ntx, nty, levels, caps, cfg.bin_chunk, window, False,
+            feat.shape[1],
         )
         return gdat, counts
 
@@ -112,7 +117,7 @@ def main():
     def bin_grad(feat):
         def loss(feat):
             gd, _ = binning(feat)
-            return jnp.sum(gd[:, :, : cfg.capacity] ** 2)
+            return jnp.sum(gd ** 2)
 
         return jax.grad(loss)(feat)
 
@@ -120,7 +125,7 @@ def main():
         return composite_pallas(
             gdat,
             jnp.minimum(counts, cfg.capacity).reshape(-1),
-            ts, ntx, ntx // 4, num_tiles, cfg.chunk, False, 3,
+            ts, ntx, levels, num_tiles, cfg.chunk, False, 3, cfg.capacity,
         )
 
     def comp_grad(gdat, counts):

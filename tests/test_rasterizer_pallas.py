@@ -116,6 +116,57 @@ class TestPallasComposite:
                 np.asarray(b_), np.asarray(a), rtol=2e-3, atol=2e-4, err_msg=name
             )
 
+    def test_hierarchical_window_not_dividing_supertile_capacity(self):
+        """Regression: a stream window rounded from g_total need not divide
+        supertile_capacity; phase 2 must fall back to a divisor window (the
+        window_trips reshape used to raise at trace time)."""
+        extr, intr, near, far, bg = make_camera()
+        scene = random_scene(jax.random.PRNGKey(11), g=384)  # window -> 384
+        cfg = RasterizeConfig(
+            mode="pallas", capacity=256, chunk=128, interpret=True,
+            supertile_capacity=512, bin_chunk=128,
+        )
+        assert cfg.supertile_capacity % 384 != 0
+        ref = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=REF_CFG)
+        pal = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=cfg)
+        np.testing.assert_allclose(
+            np.asarray(pal.color), np.asarray(ref.color), atol=5e-5
+        )
+
+    def test_saturated_tile_never_composites_overflow(self):
+        """Regression: with capacity//chunk odd but width//chunk even, the
+        paired sweep used to read the [capacity, width) overflow junk of a
+        saturated tile. The composited result must depend only on the clean
+        prefix — i.e. be identical across bin_chunk choices (which change the
+        worklist width and junk content but not the clean prefix)."""
+        key = jax.random.PRNGKey(12)
+        extr, intr, near, far, bg = make_camera()
+        # ~500 Gaussians concentrated on one 16px tile: saturates capacity.
+        keys = jax.random.split(key, 3)
+        g = 512
+        means = jnp.concatenate(
+            [
+                jax.random.uniform(keys[0], (1, g, 2), minval=-0.08, maxval=0.08),
+                jax.random.uniform(keys[1], (1, g, 1), minval=2.0, maxval=8.0),
+            ],
+            axis=-1,
+        )
+        cov = jnp.broadcast_to(jnp.eye(3) * 0.0004, (1, g, 3, 3))
+        sh = jax.random.normal(keys[2], (1, g, 3, 9)) * 0.3
+        opac = jnp.full((1, g), 0.6)
+        base = dict(mode="pallas", capacity=384, chunk=128, interpret=True)
+        # width = 384 + 256 + 128 = 768 -> 6 chunks (even), capacity 3 (odd):
+        # the old pairing predicate paired and read chunk 3 (overflow junk).
+        cfg_a = RasterizeConfig(**base, bin_chunk=256)
+        # width = 640 -> odd chunk count either way; clean by construction.
+        cfg_b = RasterizeConfig(**base, bin_chunk=128)
+        out_a = render(extr, intr, near, far, (64, 64), bg, means, cov, sh, opac, cfg=cfg_a)
+        out_b = render(extr, intr, near, far, (64, 64), bg, means, cov, sh, opac, cfg=cfg_b)
+        assert int(out_a.overflow[0]) > 0  # the tile really saturated
+        np.testing.assert_allclose(
+            np.asarray(out_a.color), np.asarray(out_b.color), atol=1e-6
+        )
+
     def test_forward_with_background(self):
         extr, intr, near, far, _ = make_camera()
         bg = jnp.array([[0.2, 0.4, 0.6]])
@@ -188,7 +239,9 @@ class TestPackBases:
 
         capacity = 1024
         bases = jnp.array([[0, 3, 700, 1024, 1025, 90000, 5]], jnp.int32)
-        packed = np.asarray(pack_bases(bases, capacity))
+        packed, is_packed = pack_bases(bases, capacity)
+        assert is_packed
+        packed = np.asarray(packed)
         # Unpack on the host exactly as _read_base does in-kernel.
         flat = []
         for word in packed:
@@ -201,6 +254,18 @@ class TestPackBases:
         from transplat_tpu.ops.rasterizer.pallas_binning import pack_bases
 
         bases = jnp.arange(7, dtype=jnp.int32)
-        packed = np.asarray(pack_bases(bases, 16384))
-        assert packed.shape[0] == 4
-        assert (packed[-1] >> 16) == 0  # zero pad
+        packed, is_packed = pack_bases(bases, 16384)
+        assert is_packed
+        assert np.asarray(packed).shape[0] == 4
+
+    def test_large_capacity_stays_flat(self):
+        """Capacities past the int16 range (tree upper levels) must fall back
+        to flat int32 bases — the packed path would overflow."""
+        from transplat_tpu.ops.rasterizer.pallas_binning import pack_bases
+
+        bases = jnp.array([0, 40000, 70000], jnp.int32)
+        flat, is_packed = pack_bases(bases, 50944)
+        assert not is_packed
+        np.testing.assert_array_equal(
+            np.asarray(flat), [0, 40000, 50945]
+        )

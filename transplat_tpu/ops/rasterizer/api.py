@@ -36,8 +36,9 @@ class RasterizeConfig:
     binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
     stream_window: int = 4096  # Gaussians per binning-kernel grid window
-    supertile_capacity: int = 16384  # phase-1 worklist size (hierarchical bin)
+    supertile_capacity: int = 16384  # retained knob (legacy 2-level binning)
     bin_chunk: int = 128  # Gaussians per binning inner chunk (<=256: exact bf16)
+    level_headroom: float = 1.5  # tree-level capacity over average coverage
 
     def resolved_mode(self) -> str:
         if self.mode != "auto":
@@ -167,9 +168,11 @@ def render(
     mode = cfg.resolved_mode()
     if mode == "pallas":
         from .pallas_binning import (
-            bin_hierarchical,
             bin_single_level,
+            bin_tree,
             build_sorted_features,
+            level_caps,
+            tree_plan,
         )
         from .pallas_composite import composite_pallas
 
@@ -211,51 +214,56 @@ def render(
 
         c_stream = 3 if feature is None else feature.shape[-1]
         f_route = 7 + c_stream  # live worklist rows (geometry + colors)
-        hierarchical = ntx % 4 == 0 and nty % 4 == 0 and num_tiles >= 64
-        if hierarchical:
-            gdat, counts, sup_counts = bin_hierarchical(
-                feat, ts, ntx, nty, cfg.capacity, bcg, window,
-                cfg.supertile_capacity, cfg.interpret, f_route=f_route,
+        levels = tree_plan(nty, ntx) if num_tiles >= 64 else None
+        if levels is not None:
+            caps = level_caps(
+                levels, g_total, ts, nty, ntx, cfg.capacity, bcg,
+                headroom=cfg.level_headroom,
             )
-            sntx = ntx // 4
-            overflow = (
-                jnp.sum(jnp.maximum(counts - cfg.capacity, 0), axis=1)
-                + jnp.sum(
-                    jnp.maximum(sup_counts - cfg.supertile_capacity, 0), axis=1
-                )
-            ).astype(jnp.int32)
+            gdat, counts, overflow = bin_tree(
+                feat, ts, ntx, nty, levels, caps, bcg, window, cfg.interpret,
+                f_route,
+            )
         else:
             gdat, counts = bin_single_level(
                 feat, ts, ntx, nty, cfg.capacity, bcg, window, cfg.interpret,
-                f_route=f_route,
+                f_route,
             )
-            sntx = 0
             overflow = jnp.sum(
                 jnp.maximum(counts - cfg.capacity, 0), axis=1
             ).astype(jnp.int32)
 
         p = ts * ts
-        c_out = 3 if feature is None else feature.shape[-1]
-        # Full-width worklists go straight into the composite: counts are
-        # clamped to capacity (a multiple of chunk), so the sweep never
-        # reaches the [capacity, width) overflow region — and skipping the
-        # slice avoids a ~134 MB copy forward plus its pad in the backward.
+        c_out = c_stream
+        # Full-width worklists go straight into the composite: the binning
+        # drops entries at capacity (the [capacity, width) tail is exactly
+        # zero) and the composite additionally bounds its sweep to the clean
+        # [0, capacity) prefix — no slice, no copy, no junk.
         assert cfg.capacity % cfg.chunk == 0
         acc, tfin = composite_pallas(
             gdat,
             jnp.minimum(counts, cfg.capacity).reshape(-1),
-            ts, ntx, sntx, num_tiles, cfg.chunk, cfg.interpret, c_out,
+            ts, ntx, levels, num_tiles, cfg.chunk, cfg.interpret, c_out,
+            cfg.capacity,
         )
         acc = acc.reshape(b, num_tiles, p, 8)[..., :c_out]
         tfin = tfin.reshape(b, num_tiles, p)
         out = acc + tfin[..., None] * background[:, None, None, :]
-        if hierarchical:
-            # Supertile-major tile order: (sy, sx, wy, wx) tiles, each (py, px).
-            snty = nty // 4
-            out = out.reshape(b, snty, sntx, 4, 4, ts, ts, c_out)
-            out = out.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-                b, nty * ts, ntx * ts, c_out
+        if levels is not None:
+            # Tree (path-major) tile order: per level a (fy, fx) block split.
+            nl = len(levels)
+            dims = [b]
+            for fy, fx in levels:
+                dims.extend((fy, fx))
+            out = out.reshape(*dims, ts, ts, c_out)
+            perm = (
+                [0]
+                + [1 + 2 * j for j in range(nl)]
+                + [1 + 2 * nl]
+                + [2 + 2 * j for j in range(nl)]
+                + [2 + 2 * nl, 3 + 2 * nl]
             )
+            out = out.transpose(perm).reshape(b, nty * ts, ntx * ts, c_out)
         else:
             out = out.reshape(b, nty, ntx, ts, ts, c_out)
             out = out.transpose(0, 1, 3, 2, 4, 5).reshape(

@@ -36,6 +36,20 @@ def split3_bf16(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return jnp.concatenate([hi, mid, lo], axis=axis)
 
 
+def split2_bf16(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Near-exact 2-way bf16 decomposition of f32 (relative error <= 2^-18).
+
+    hi + mid reproduces x to ~2x f32 rounding of the bf16 ladder: hi carries
+    the top 8 significand bits exactly, x - hi is exact in f32 (within a
+    factor 2 of x - hi's own magnitude), and mid rounds the remainder to
+    another 8 bits. Use where 2^-18 relative error is acceptable (gradients,
+    colors, opacities) — two MXU passes instead of three.
+    """
+    hi = x.astype(jnp.bfloat16)
+    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid], axis=axis)
+
+
 def dot_e3(a: jnp.ndarray, b_exact: jnp.ndarray, dimension_numbers):
     """Exact a @ b for general f32 `a` and bf16-exact `b` (2D operands).
 

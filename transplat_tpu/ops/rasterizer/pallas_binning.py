@@ -5,30 +5,35 @@ rasterizer (diff-gaussian-rasterization; see SURVEY.md §2.9 and
 /root/reference/src/model/decoder/cuda_splatting.py:100-136) with a
 scatter-free, gather-free formulation that maps onto TPU matmul hardware:
 
-  * the depth-sorted Gaussian stream [F, G] (feature-major: F=16 sublanes x G
-    lanes) is swept in chunks of CG lanes; a chunk's coverage mask against a
-    GROUP of tiles is turned into per-tile compaction offsets by a
-    triangular-matrix matmul — ONE (2CG, cpw*group) matmul per WINDOW plans
-    all cpw chunks at once — and the compacted write becomes a one-hot
-    matmul into a 128-aligned window of each tile's worklist
-  * per-(tile, chunk) worklist base offsets are precomputed in XLA (one
+  * the depth-sorted Gaussian stream [F, G] (feature-major: F = 7 + C
+    sublanes x G lanes) is swept in chunks of CG lanes; a chunk's coverage
+    mask against a GROUP of cells is turned into per-cell compaction offsets
+    by a triangular-matrix matmul — ONE (2CG, cpw*group) matmul per WINDOW
+    plans all cpw chunks at once — and the compacted write becomes a one-hot
+    matmul into a 128-aligned window of each cell's worklist
+  * per-(cell, chunk) worklist base offsets are precomputed in XLA (one
     coverage reduce + cumsum over chunks) and passed via scalar prefetch;
     the cpw chunk bodies per window are STATICALLY UNROLLED (every slice
     offset is compile-time), so Mosaic schedules MXU routing against VPU
     one-hot staging across chunks with no loop-carried state
-  * only the f_route live feature rows (7 geometry + C color) are routed:
-    MXU streaming cycles scale with M = 3*f_route (30 for RGB, not 48)
-  * two levels (64px supertiles -> 16px tiles) keep the per-level target
-    fan-out at <=16, bounding total routing work
+  * the tile grid is subdivided as a TREE (default: quadtree levels of 2x2):
+    routing MACs scale with the per-level fan-out summed over levels, so
+    L levels of 2x2 cost ~L*4 target-lanes per stream element where a flat
+    16x16 grid costs 256
+  * entries that would land at or beyond a cell's capacity are DROPPED at
+    the one-hot stage (their routing slot matches no lane), so a worklist's
+    [capacity, width) tail is always zero: child levels and the composite
+    can consume worklists full-width with no slicing and no junk
 
 Numerical exactness on the MXU (which computes f32 matmuls as bf16 passes):
   * 0/1 matrices (coverage, triangular, identity, one-hots) and integer
     counts <= 256 are exactly representable in bf16, so the compaction-offset
     matmuls are exact at native speed (hence CG <= 256)
-  * feature values are routed via an exact 3-way bf16 decomposition
-    (hi + mid + lo reconstructs any binary32 exactly; each part multiplies a
-    0/1 one-hot, accumulated in f32) — the binned worklists are bit-exact
-    copies of the input features
+  * geometry rows (means, conic, radius) are routed via an exact 3-way bf16
+    decomposition (hi + mid + lo reconstructs any binary32 exactly; each
+    part multiplies a 0/1 one-hot, accumulated in f32) — coverage tests and
+    the conic quadratic form see bit-exact values at every level; opacity
+    and color rows use the 2-way split (<= 2^-18 relative error per level)
 
 The backward pass re-runs the sweep with the one-hot matmul transposed,
 routing worklist cotangents back onto stream features — zero scatters.
@@ -41,11 +46,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import split3_bf16
-from .pallas_composite import F
+from .mxu import split2_bf16, split3_bf16
 
 _ALIGN = 128  # Mosaic lane alignment for dynamic worklist windows
 
@@ -54,6 +59,14 @@ _ALIGN = 128  # Mosaic lane alignment for dynamic worklist windows
 # worklist group block) need headroom beyond the default.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+# Rows 0..N_EXACT-1 of the feature stream (mean_x, mean_y, conic a/b/c,
+# radius) are routed with the exact 3-way bf16 split: positions and radius
+# feed coverage tests and the conic quadratic form, where errors compound
+# across tree levels. Rows >= N_EXACT (opacity, colors) tolerate the 2-way
+# split's <= 2^-18 relative error per level — trimming the routing matmul
+# from 3F to 2F + N_EXACT rows (MXU cycles scale with M).
+N_EXACT = 6
+
 # Debug/profiling hook (scripts/bench_binning.py): truncate the forward chunk
 # body after a given stage to attribute kernel time. Trace-time constant;
 # production value is "full". Stages: "dma" (stream read only), "plan"
@@ -61,18 +74,17 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 ABLATE = "full"
 
 
-def _covers(mx, my, r, x0, y0, tile_size):
-    """Tile-coverage predicate; MUST match between XLA (chunk_bases) and the
+def _covers(mx, my, r, x0, y0, cw, ch):
+    """Cell-coverage predicate; MUST match between XLA (chunk_bases) and the
     kernels — both evaluate it in f32 elementwise, so results are identical.
 
-    Covers iff the tile's pixel range intersects [m - r, m + r] in both axes
-    (exact cover of the circular alpha cutoff)."""
-    ts = jnp.float32(tile_size)
+    Covers iff the cell's pixel range [x0, x0+cw) x [y0, y0+ch) intersects
+    [m - r, m + r] in both axes (exact cover of the circular alpha cutoff)."""
     return (
         (mx + r >= x0)
-        & (mx - r < x0 + ts)
+        & (mx - r < x0 + jnp.float32(cw))
         & (my + r >= y0)
-        & (my - r < y0 + ts)
+        & (my - r < y0 + jnp.float32(ch))
         & (r > 0.0)
     )
 
@@ -82,14 +94,15 @@ def _covers(mx, my, r, x0, y0, tile_size):
 # --------------------------------------------------------------------------
 
 
-def chunk_bases(feat, tx0, ty0, tile_size, cg):
+def chunk_bases(feat, tx0, ty0, extent, cg):
     """Exclusive per-(target, chunk) worklist offsets, computed in XLA.
 
-    feat: (N, F, G) feature-major streams; tx0/ty0: (T,) or (N, T) tile
-    origins in pixels. Returns bases (N, T, NC + 1) int32 where
-    bases[n, t, c] = number of stream entries in chunks < c covering target t
-    and bases[n, t, NC] = total coverage count of target t.
+    feat: (N, F, G) feature-major streams; tx0/ty0: (T,) or (N, T) cell
+    origins in pixels; extent: (cw, ch) cell size in pixels. Returns bases
+    (N, T, NC + 1) int32 where bases[n, t, c] = number of stream entries in
+    chunks < c covering target t and bases[n, t, NC] = total coverage.
     """
+    cw, ch = extent
     n, _, g = feat.shape
     nc = g // cg
     mx = feat[:, 0, :].reshape(n, nc, cg)[..., None]
@@ -101,7 +114,7 @@ def chunk_bases(feat, tx0, ty0, tile_size, cg):
     else:
         x0 = tx0[:, None, None, :]
         y0 = ty0[:, None, None, :]
-    cov = _covers(mx, my, r, x0, y0, tile_size)  # (N, NC, CG, T)
+    cov = _covers(mx, my, r, x0, y0, cw, ch)  # (N, NC, CG, T)
     counts = jnp.sum(cov, axis=2, dtype=jnp.int32)  # (N, NC, T)
     incl = jnp.cumsum(counts, axis=1)
     bases = jnp.concatenate([jnp.zeros_like(incl[:, :1]), incl], axis=1)
@@ -109,23 +122,31 @@ def chunk_bases(feat, tx0, ty0, tile_size, cg):
 
 
 def pack_bases(bases, capacity):
-    """Clamp + pack base offsets into int16 pairs for SMEM prefetch.
+    """Clamp + (when they fit 15 bits) pack base offsets into int16 pairs
+    for SMEM prefetch.
 
     The kernels only ever use min(b, capacity) and the gate b1 > b0, so
-    offsets are clamped to capacity + 1 (<= 16385, fits 15 bits) and packed
+    offsets are clamped to capacity + 1 and, for capacity < 32k, packed
     two-per-int32 — halving the scalar-prefetch footprint (SMEM is 1 MB).
-    Clamping also shortens window_trips: chunks that would only write the
-    discarded overflow region are skipped entirely.
+    Levels with larger capacities (few cells -> small bases arrays anyway)
+    stay flat int32. Clamping also shortens window_trips: chunks that would
+    only write the dropped overflow region are skipped entirely.
+
+    Returns (array, packed: bool); thread `packed` into the kernel statics.
     """
     flat = jnp.minimum(bases.reshape(-1), capacity + 1).astype(jnp.int32)
+    if capacity + 1 >= (1 << 15):
+        return flat, False
     if flat.shape[0] % 2:
         flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
     pair = flat.reshape(-1, 2)
-    return pair[:, 0] | (pair[:, 1] << 16)
+    return pair[:, 0] | (pair[:, 1] << 16), True
 
 
-def _read_base(bases_ref, j):
+def _read_base(bases_ref, j, packed):
     """Read logical element j from a pack_bases array (scalar ops)."""
+    if not packed:
+        return bases_ref[j]
     word = bases_ref[j // 2]
     return jnp.where(j % 2 == 1, word >> 16, word & 0xFFFF)
 
@@ -135,8 +156,8 @@ def window_trips(bases, ng, group, cpw):
 
     bases: (N, T, NC + 1) with T = ng * group. A window's trip is the index
     past the last chunk in which ANY of the cell's targets gains coverage —
-    all-empty window tails (e.g. the sorted-to-the-back invisible Gaussians)
-    are skipped entirely.
+    all-empty window tails (e.g. the sorted-to-the-back invisible Gaussians,
+    or a worklist's zero tail) are skipped entirely.
     """
     n, t, ncp1 = bases.shape
     nc = ncp1 - 1
@@ -152,21 +173,51 @@ def window_trips(bases, ng, group, cpw):
 
 
 # --------------------------------------------------------------------------
+# Tree-path decoding (shared with pallas_composite via _decode_path)
+# --------------------------------------------------------------------------
+
+
+def _decode_path(idx, path, parents):
+    """Decode a tree cell index into (ty, tx) cell coordinates.
+
+    path: static tuple of (fy, fx) fan-outs, top-first; parents = prod of
+    all fan-outs. Works on scalars or arrays (jnp or np), statically
+    unrolled."""
+    rem = idx
+    ty = idx - idx  # zeros of matching type/shape
+    tx = idx - idx
+    below = parents
+    for fy, fx in path:
+        below //= fy * fx
+        d = rem // below
+        rem = rem % below
+        ty = ty * fy + d // fx
+        tx = tx * fx + d % fx
+    return ty, tx
+
+
+# --------------------------------------------------------------------------
 # Kernels
 # --------------------------------------------------------------------------
 
 
-def _target_coords(i, group, *, layout, ntx, sntx, ng, nsup, tile_size):
-    """Per-target tile origins (group, 1) f32 for the current grid cell."""
+def _target_coords(i, group, *, layout, ntx, ng, path, fy, fx, cw, ch,
+                   parents):
+    """Per-target cell origins (group, 1) f32 for the current grid cell.
+
+    raster: targets are cells (i % ng) * group + k of an ntx-wide grid.
+    tree: stream i belongs to parent (i % parents) whose path is decoded
+    over `path`; targets are its fy x fx children of size (cw, ch) px.
+    """
     k = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
     if layout == "raster":
         tid = (i % ng) * group + k
-        tx = (tid % ntx) * tile_size
-        ty = (tid // ntx) * tile_size
-    else:  # "sub4x4": the 16 tiles of supertile s, row-major within it
-        s = i % nsup
-        tx = ((s % sntx) * 4 + k % 4) * tile_size
-        ty = ((s // sntx) * 4 + k // 4) * tile_size
+        tx = (tid % ntx) * cw
+        ty = (tid // ntx) * ch
+    else:  # "tree"
+        pty, ptx = _decode_path(i % parents, path, parents)
+        tx = (ptx * fx + k % fx) * cw
+        ty = (pty * fy + k // fx) * ch
     return tx.astype(jnp.float32), ty.astype(jnp.float32)
 
 
@@ -182,8 +233,8 @@ def _plan_matrix(cg: int):
 
 def _bin_fwd_kernel(
     trips_ref, bases_ref, feat_ref, pfeat_ref, gdat_ref, oh_ref, oh2_ref,
-    *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
-    f_route,
+    *, layout, ntx, ng, path, fy, fx, cw, ch, parents, group, cg, capacity,
+    cpw, ncp1, f_route, packed,
 ):
     i = pl.program_id(0)
     w = pl.program_id(1)
@@ -195,8 +246,8 @@ def _bin_fwd_kernel(
         gdat_ref[...] = jnp.zeros(gdat_ref.shape, gdat_ref.dtype)
 
     txs, tys = _target_coords(
-        i, group, layout=layout, ntx=ntx, sntx=sntx, ng=ng, nsup=nsup,
-        tile_size=tile_size,
+        i, group, layout=layout, ntx=ntx, ng=ng, path=path, fy=fy, fx=fx,
+        cw=cw, ch=ch, parents=parents,
     )
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
@@ -210,7 +261,7 @@ def _bin_fwd_kernel(
     cover3 = _covers(
         pf[0:cpw][:, None, :], pf[cpw : 2 * cpw][:, None, :],
         pf[2 * cpw : 3 * cpw][:, None, :],
-        txs[None, :, :], tys[None, :, :], tile_size,
+        txs[None, :, :], tys[None, :, :], cw, ch,
     ).astype(jnp.float32)  # (cpw, group, CG)
     pe_all = jax.lax.dot_general(
         _plan_matrix(cg), cover3.reshape(cpw * group, cg),
@@ -225,41 +276,54 @@ def _bin_fwd_kernel(
         # compare key (non-coverers get slot -1, matching no lane), so the
         # wide one-hot build is a single compare + convert — and a target
         # with no coverage produces an all-zero block, no branching needed.
+        # Entries whose absolute slot would land at or beyond capacity are
+        # dropped the same way (slot >= capacity - w0 matches no lane in
+        # [0, nbw) only if ALSO mapped to -1 — the drop keeps the worklist's
+        # [capacity, width) tail exactly zero).
         cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
-            bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
-            frac = (bq - (bq // _ALIGN) * _ALIGN).astype(jnp.float32)
+            bq = jnp.minimum(_read_base(bases_ref, bidx, packed), capacity)
+            w0 = (bq // _ALIGN) * _ALIGN
+            frac = (bq - w0).astype(jnp.float32)
             rel = frac + pe_all[0:cg, ci * group + k : ci * group + k + 1]
             rel = jnp.where(
                 pe_all[cg:, ci * group + k : ci * group + k + 1] > 0.5,
                 rel, -1.0,
+            )
+            rel = jnp.where(
+                rel >= (capacity - w0).astype(jnp.float32), -1.0, rel
             )
             oh[:, k * nbw : (k + 1) * nbw] = (
                 cols == rel.astype(jnp.int32)
             ).astype(jnp.bfloat16)
 
     def route(ci, oh):
-        # Only the f_route live feature rows are routed: M = 3*f_route rows
-        # (30 for RGB) instead of 3*F = 48 — MXU streaming cycles scale with
-        # M, and the dead padding rows routed nothing but zeros.
+        # Mixed-precision routing of the f_route live rows: geometry rows
+        # (first N_EXACT) get the exact 3-way split, opacity/colors the
+        # 2-way split — M = 2*f_route + N_EXACT rows (26 for RGB vs 30
+        # all-exact; MXU streaming cycles scale with M).
+        ne = min(N_EXACT, f_route)
         sl = feat_ref[0, 0:f_route, ci * cg : (ci + 1) * cg]
-        sl3 = split3_bf16(sl)  # (3*f_route, CG) bf16
+        hi = sl.astype(jnp.bfloat16)
+        r1 = sl - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1[0:ne] - mid[0:ne].astype(jnp.float32)).astype(jnp.bfloat16)
+        sl3 = jnp.concatenate([hi, mid, lo], axis=0)  # (2f + ne, CG)
         routed = jax.lax.dot_general(
             sl3, oh[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (3*f_route, group * nbw)
-        return (
-            routed[:f_route]
-            + routed[f_route : 2 * f_route]
-            + routed[2 * f_route :]
-        )
+        )  # (2f + ne, group * nbw)
+        f = f_route
+        top = routed[:ne] + routed[f : f + ne] + routed[2 * f :]
+        rest = routed[ne:f] + routed[f + ne : 2 * f]
+        return jnp.concatenate([top, rest], axis=0)
 
     def store(ci, contrib):
         cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
-            b0 = _read_base(bases_ref, bidx)
+            b0 = _read_base(bases_ref, bidx, packed)
             bq = jnp.minimum(b0, capacity)
             w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
             ck = contrib[:, k * nbw : (k + 1) * nbw]
@@ -270,8 +334,7 @@ def _bin_fwd_kernel(
             # Only the first 128-block can hold earlier chunks' entries
             # (their writes end at b0 < w0 + 128, since worklist offsets are
             # monotone in the chunk sweep); the rest of the window was never
-            # touched — plain stores, no RMW. Rows f_route..F stay zero from
-            # the w == 0 initialization.
+            # touched — plain stores, no RMW.
             gdat_ref[k, 0:f_route, pl.ds(w0, _ALIGN)] += ck[:, :_ALIGN]
             gdat_ref[k, 0:f_route, pl.ds(w0 + _ALIGN, nbw - _ALIGN)] = (
                 ck[:, _ALIGN:]
@@ -328,8 +391,8 @@ def _bin_fwd_kernel(
 def _bin_bwd_kernel(
     trips_ref, bases_ref, feat_ref, pfeat_ref, dgdat_ref, dfeat_ref, oh_ref,
     dwin_ref, oh2_ref, dwin2_ref,
-    *, tile_size, ntx, sntx, ng, nsup, layout, group, cg, capacity, cpw, ncp1,
-    f_route,
+    *, layout, ntx, ng, path, fy, fx, cw, ch, parents, group, cg, capacity,
+    cpw, ncp1, f_route, packed,
 ):
     i = pl.program_id(0)
     w = pl.program_id(1)
@@ -340,8 +403,8 @@ def _bin_bwd_kernel(
     dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
 
     txs, tys = _target_coords(
-        i, group, layout=layout, ntx=ntx, sntx=sntx, ng=ng, nsup=nsup,
-        tile_size=tile_size,
+        i, group, layout=layout, ntx=ntx, ng=ng, path=path, fy=fy, fx=fx,
+        cw=cw, ch=ch, parents=parents,
     )
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
@@ -350,7 +413,7 @@ def _bin_bwd_kernel(
     cover3 = _covers(
         pf[0:cpw][:, None, :], pf[cpw : 2 * cpw][:, None, :],
         pf[2 * cpw : 3 * cpw][:, None, :],
-        txs[None, :, :], tys[None, :, :], tile_size,
+        txs[None, :, :], tys[None, :, :], cw, ch,
     ).astype(jnp.float32)
     pe_all = jax.lax.dot_general(
         _plan_matrix(cg), cover3.reshape(cpw * group, cg),
@@ -363,17 +426,22 @@ def _bin_bwd_kernel(
         # gradients back with ONE contraction over the concatenated lane axis
         # (disjoint blocks -> the sum over targets happens inside the matmul).
         # Both scratches must be written unconditionally: a stale NaN times a
-        # zero one-hot would still poison the product.
+        # zero one-hot would still poison the product. Dropped-at-capacity
+        # entries get a zero one-hot, matching the forward (they received no
+        # slot, so they receive no gradient).
         cbase = w * cpw + ci
         for k in range(group):
             bidx = (i * group + k) * ncp1 + cbase
-            bq = jnp.minimum(_read_base(bases_ref, bidx), capacity)
+            bq = jnp.minimum(_read_base(bases_ref, bidx, packed), capacity)
             w0 = pl.multiple_of((bq // _ALIGN) * _ALIGN, _ALIGN)
             frac = (bq - w0).astype(jnp.float32)
             rel = frac + pe_all[0:cg, ci * group + k : ci * group + k + 1]
             rel = jnp.where(
                 pe_all[cg:, ci * group + k : ci * group + k + 1] > 0.5,
                 rel, -1.0,
+            )
+            rel = jnp.where(
+                rel >= (capacity - w0).astype(jnp.float32), -1.0, rel
             )
             oh[:, k * nbw : (k + 1) * nbw] = (
                 cols == rel.astype(jnp.int32)
@@ -383,15 +451,15 @@ def _bin_bwd_kernel(
             ]
 
     def pull(ci, oh, dwin):
-        dwin3 = split3_bf16(dwin[...])  # (3*f_route, group * nbw)
+        # Cotangents tolerate the 2-way split (<= 2^-18 relative; gradient
+        # checks run at rtol 2e-3): M = 2*f_route rows instead of 3.
+        dwin2 = split2_bf16(dwin[...])  # (2*f_route, group * nbw)
         back = jax.lax.dot_general(
-            dwin3, oh[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            dwin2, oh[...], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (3*f_route, CG)
+        )  # (2*f_route, CG)
         dfeat_ref[0, 0:f_route, ci * cg : (ci + 1) * cg] = (
-            back[:f_route]
-            + back[f_route : 2 * f_route]
-            + back[2 * f_route :]
+            back[:f_route] + back[f_route : 2 * f_route]
         )
 
     # Pairs, as in the forward: chunk B's VPU staging overlaps chunk A's MXU
@@ -417,10 +485,11 @@ def _bin_bwd_kernel(
 
 def _static(kw):
     return dict(
-        tile_size=kw["tile_size"], ntx=kw["ntx"], sntx=kw["sntx"],
-        ng=kw["ng"], nsup=kw["nsup"], layout=kw["layout"], group=kw["group"],
-        cg=kw["cg"], capacity=kw["capacity"], cpw=kw["cpw"], ncp1=kw["ncp1"],
-        f_route=kw["f_route"],
+        layout=kw["layout"], ntx=kw["ntx"], ng=kw["ng"], path=kw["path"],
+        fy=kw["fy"], fx=kw["fx"], cw=kw["cw"], ch=kw["ch"],
+        parents=kw["parents"], group=kw["group"], cg=kw["cg"],
+        capacity=kw["capacity"], cpw=kw["cpw"], ncp1=kw["ncp1"],
+        f_route=kw["f_route"], packed=kw["packed"],
     )
 
 
@@ -535,8 +604,9 @@ def bin_targets(stream, bases, trips, interpret, static):
     pack_bases(chunk_bases(...)); trips: (N * ng, NW) int32 from
     window_trips.
     static: hashable dict of kernel geometry (see _static).
-    Returns gdat (N * ng * group, F, capacity + cg + 128); only the first
-    `capacity` columns are clean — slice before compositing.
+    Returns gdat (N * ng * group, F, capacity + cg + 128); columns at or
+    beyond `capacity` are exactly zero (overflow entries are dropped at the
+    one-hot stage), so worklists are consumable full-width.
     """
     return _fwd_call(stream, bases, trips, interpret, **dict(static))
 
@@ -568,175 +638,224 @@ def _frozen(**kw):
     return tuple(sorted(kw.items()))
 
 
-def _pick_group(num_tiles: int, width: int, budget_bytes: int = 18 << 20) -> int:
+def _pick_group(num_tiles: int, width: int, f: int,
+                budget_bytes: int = 18 << 20) -> int:
     """Largest divisor of num_tiles (<=16) whose worklist group fits VMEM.
 
-    The budget (18 MB) allows a full group=16 at the phase-1 supertile width
-    (one stream sweep instead of ng=4): v5e has 128 MB of physical VMEM and
-    the kernels raise Mosaic's scoped-vmem limit (_VMEM_LIMIT) accordingly —
-    the 16 MB default limit only fits group=4 at that width."""
+    v5e has 128 MB of physical VMEM and the kernels raise Mosaic's
+    scoped-vmem limit (_VMEM_LIMIT) beyond the 16 MB default."""
     for g in (16, 8, 4, 2, 1):
-        if num_tiles % g == 0 and g * F * width * 4 <= budget_bytes:
+        if num_tiles % g == 0 and g * f * width * 4 <= budget_bytes:
             return g
     return 1
 
 
 def bin_single_level(
-    feat, tile_size, ntx, nty, capacity, cg, window, interpret, f_route=15
+    feat, tile_size, ntx, nty, capacity, cg, window, interpret, f_route
 ):
-    """One-level binning (small images): gdat in raster tile order + counts.
+    """One-level binning (small/irregular grids): gdat in raster tile order.
 
-    feat: (B, F, G) depth-sorted feature-major, G a multiple of `window`.
-    f_route: number of live feature rows (7 geometry + color channels); rows
-    beyond it are left zero in the worklists.
-    Returns gdat (B*T, F, width), counts (B, T) int32.
+    feat: (B, F, G) depth-sorted feature-major, G a multiple of `window`,
+    F == f_route live rows. Returns gdat (B*T, F, width), counts (B, T).
     """
     assert capacity % _ALIGN == 0 and cg % _ALIGN == 0 and cg <= 256
-    b, _, g = feat.shape
+    b, f, g = feat.shape
     num_tiles = ntx * nty
     width = capacity + cg + _ALIGN
-    group = _pick_group(num_tiles, width)
+    group = _pick_group(num_tiles, width, f)
     ng = num_tiles // group
     cpw = window // cg
     t = jnp.arange(num_tiles, dtype=jnp.int32)
     tx0 = ((t % ntx) * tile_size).astype(jnp.float32)
     ty0 = ((t // ntx) * tile_size).astype(jnp.float32)
-    bases = chunk_bases(jax.lax.stop_gradient(feat), tx0, ty0, tile_size, cg)
+    bases = chunk_bases(
+        jax.lax.stop_gradient(feat), tx0, ty0, (tile_size, tile_size), cg
+    )
     clamped = jnp.minimum(bases, capacity + 1)
     trips = window_trips(clamped, ng, group, cpw)
     counts = bases[:, :, -1]
+    packed_bases, packed = pack_bases(bases, capacity)
     static = _frozen(
-        tile_size=tile_size, ntx=ntx, sntx=0, ng=ng, nsup=0, layout="raster",
-        group=group, cg=cg, capacity=capacity, cpw=cpw,
-        ncp1=bases.shape[-1], f_route=f_route,
+        layout="raster", ntx=ntx, ng=ng, path=(), fy=1, fx=1, cw=tile_size,
+        ch=tile_size, parents=1, group=group, cg=cg, capacity=capacity,
+        cpw=cpw, ncp1=bases.shape[-1], f_route=f_route, packed=packed,
     )
-    gdat = bin_targets(
-        feat, pack_bases(bases, capacity), trips, interpret, static
-    )
+    gdat = bin_targets(feat, packed_bases, trips, interpret, static)
     return gdat, counts
 
 
-def bin_hierarchical(
-    feat,  # (B, F, G) depth-sorted, feature-major
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tree_plan(nty: int, ntx: int, max_group: int = 16):
+    """Subdivision plan for an (nty, ntx) tile grid: tuple of (fy, fx)
+    fan-outs, top-first — (2,2) quadtree levels peeled from the bottom, plus
+    whatever irregular remainder as the top level. None if the grid has no
+    usable split (single-level binning instead)."""
+    k = 0
+    ry, rx = nty, ntx
+    while ry % 2 == 0 and rx % 2 == 0 and ry * rx > 4:
+        ry //= 2
+        rx //= 2
+        k += 1
+    if k == 0:
+        return None
+    levels = []
+    if ry * rx > 1:
+        if ry * rx > max_group:
+            return None
+        levels.append((ry, rx))
+    levels.extend([(2, 2)] * k)
+    return tuple(levels)
+
+
+def level_caps(
+    levels, g_total: int, tile_size: int, nty: int, ntx: int, capacity: int,
+    cg: int, headroom: float = 1.5, budget_bytes: int = 40 << 20,
+):
+    """Per-level worklist capacities. The bottom level uses the configured
+    tile capacity; upper levels get headroom x the average coverage, rounded
+    so width = cap + cg + 128 is a multiple of 2048 (rich in power-of-two
+    window divisors -> zero-copy level chaining)."""
+    caps = []
+    cells = 1
+    for l, (fy, fx) in enumerate(levels):
+        cells *= fy * fx
+        if l == len(levels) - 1:
+            caps.append(capacity)
+            continue
+        group_next = levels[l + 1][0] * levels[l + 1][1]
+        desired = int(headroom * g_total / cells)
+        desired = max(desired, 2 * cg, capacity)
+        width = _round_up(desired + cg + _ALIGN, 2048)
+        # VMEM bound: the NEXT level holds group_next worklists of this width.
+        f_guess = 16
+        while group_next * f_guess * width * 4 > budget_bytes and width > 2048:
+            width -= 2048
+        caps.append(width - cg - _ALIGN)
+    return caps
+
+
+def bin_tree(
+    feat,  # (B, F, G) depth-sorted, feature-major; F == f_route
     tile_size: int,
     ntx: int,
     nty: int,
-    capacity: int,
+    levels,  # from tree_plan
+    caps,  # from level_caps (same length)
     cg: int,
-    window: int,
-    supertile_capacity: int,
+    window: int,  # level-1 stream window (divides G)
     interpret: bool,
-    f_route: int = 15,
+    f_route: int,
 ):
-    """Two-level binning: 4x4-tile supertiles, then per-supertile tiles.
+    """Multi-level tree binning: stream -> ... -> per-tile worklists.
 
-    Returns (gdat, counts, sup_counts):
-      gdat (B*T, F, capacity + cg + 128) in SUPERTILE-MAJOR tile order
+    Returns (gdat, counts, overflow):
+      gdat (B*T, F, capacity + cg + 128) in TREE (path-major) tile order
       counts (B, T) int32 per-tile coverage, same order
-      sup_counts (B, S) int32 per-supertile coverage (overflow diagnostics)
+      overflow (B,) int32 total entries dropped at any level's capacity
+    Tile t's grid position is _decode_path(t, levels, T).
     """
-    assert ntx % 4 == 0 and nty % 4 == 0
-    assert capacity % _ALIGN == 0 and cg % _ALIGN == 0 and cg <= 256
-    assert supertile_capacity % _ALIGN == 0
-    sntx, snty = ntx // 4, nty // 4
-    nsup = sntx * snty
     b = feat.shape[0]
-    k1 = supertile_capacity
-    width1 = k1 + cg + _ALIGN
-    cpw = window // cg
-
-    # Phase 1: stream -> supertile worklists (raster supertile order).
-    s = jnp.arange(nsup, dtype=jnp.int32)
-    sx0 = ((s % sntx) * (4 * tile_size)).astype(jnp.float32)
-    sy0 = ((s // sntx) * (4 * tile_size)).astype(jnp.float32)
-    group1 = _pick_group(nsup, width1)
-    ng1 = nsup // group1
-    bases1 = chunk_bases(
-        jax.lax.stop_gradient(feat), sx0, sy0, 4 * tile_size, cg
-    )  # (B, S, NC+1)
-    trips1 = window_trips(jnp.minimum(bases1, k1 + 1), ng1, group1, cpw)
-    sup_counts = bases1[:, :, -1]  # (B, S)
-    static1 = _frozen(
-        tile_size=4 * tile_size, ntx=sntx, sntx=0, ng=ng1, nsup=0,
-        layout="raster", group=group1, cg=cg, capacity=k1, cpw=cpw,
-        ncp1=bases1.shape[-1], f_route=f_route,
-    )
-    sup = bin_targets(
-        feat, pack_bases(bases1, k1), trips1, interpret, static1
-    )  # (B*S, F, width1)
-    parents = sup[:, :, :k1]
-
-    # Phase 2: each supertile worklist -> its 16 tiles (sub4x4 order).
-    sid = jnp.arange(nsup, dtype=jnp.int32)  # (S,)
-    wi = jnp.arange(16, dtype=jnp.int32)
-    tx0 = (((sid[:, None] % sntx) * 4 + wi[None, :] % 4) * tile_size).astype(
-        jnp.float32
-    )  # (S, 16)
-    ty0 = (((sid[:, None] // sntx) * 4 + wi[None, :] // 4) * tile_size).astype(
-        jnp.float32
-    )
-    tx0 = jnp.tile(tx0, (b, 1))  # (B*S, 16)
-    ty0 = jnp.tile(ty0, (b, 1))
-    bases2 = chunk_bases(
-        jax.lax.stop_gradient(parents), tx0, ty0, tile_size, cg
-    )  # (B*S, 16, NC2+1)
-    # Phase-2 sweeps are windowed like phase 1 (the kernels statically unroll
-    # cpw chunk bodies per window); per-window trips skip empty tails of the
-    # parent worklists.
-    window2 = min(window, k1)
-    cpw2 = window2 // cg
-    trips2 = window_trips(jnp.minimum(bases2, capacity + 1), 1, 16, cpw2)
-    static2 = _frozen(
-        tile_size=tile_size, ntx=ntx, sntx=sntx, ng=1, nsup=nsup,
-        layout="sub4x4", group=16, cg=cg, capacity=capacity, cpw=cpw2,
-        ncp1=bases2.shape[-1], f_route=f_route,
-    )
-    gdat = bin_targets(
-        parents, pack_bases(bases2, capacity), trips2, interpret, static2
-    )
-    counts = bases2[:, :, -1].reshape(b, nsup * 16)
-    return gdat, counts, sup_counts
+    assert len(caps) == len(levels)
+    stream = feat
+    win = window
+    parents = 1
+    overflow = jnp.zeros((b,), jnp.int32)
+    counts = None
+    cells_y = cells_x = 1
+    for l, (fy, fx) in enumerate(levels):
+        cap = caps[l]
+        assert cap % _ALIGN == 0 and cg % _ALIGN == 0 and cg <= 256
+        group = fy * fx
+        path = tuple(levels[:l])
+        cells_y *= fy
+        cells_x *= fx
+        ch_px = (nty // cells_y) * tile_size
+        cw_px = (ntx // cells_x) * tile_size
+        # Static per-(parent, child) cell origins for the XLA bases pass.
+        p = np.arange(parents)
+        pty, ptx = _decode_path(p, path, parents)
+        k = np.arange(group)
+        x0 = ((ptx[:, None] * fx + k[None] % fx) * cw_px).astype(np.float32)
+        y0 = ((pty[:, None] * fy + k[None] // fx) * ch_px).astype(np.float32)
+        tx0 = jnp.asarray(np.tile(x0, (b, 1)))  # (B*parents, group)
+        ty0 = jnp.asarray(np.tile(y0, (b, 1)))
+        bases = chunk_bases(
+            jax.lax.stop_gradient(stream), tx0, ty0, (cw_px, ch_px), cg
+        )
+        cpw = win // cg
+        trips = window_trips(jnp.minimum(bases, cap + 1), 1, group, cpw)
+        packed_bases, packed = pack_bases(bases, cap)
+        static = _frozen(
+            layout="tree", ntx=0, ng=1, path=path, fy=fy, fx=fx, cw=cw_px,
+            ch=ch_px, parents=parents, group=group, cg=cg, capacity=cap,
+            cpw=cpw, ncp1=bases.shape[-1], f_route=f_route, packed=packed,
+        )
+        stream = bin_targets(
+            stream, packed_bases, trips, interpret, static
+        )  # (B*parents*group, F, cap + cg + 128)
+        counts = bases[:, :, -1]  # (B*parents, group)
+        overflow = overflow + jnp.sum(
+            jnp.maximum(counts - cap, 0).reshape(b, -1), axis=1
+        ).astype(jnp.int32)
+        parents *= group
+        if l + 1 < len(levels):
+            # Next window: largest power-of-two multiple of cg dividing the
+            # new stream width (a multiple of 2048 by level_caps), bounded by
+            # the level-1 window.
+            width = cap + cg + _ALIGN
+            win = cg
+            while win * 2 <= min(width, window) and width % (win * 2) == 0:
+                win *= 2
+    return stream, counts.reshape(b, -1), overflow
 
 
 @jax.custom_vjp
-def _permute_rows(feat, order):
-    """feat[order] with a sort-based VJP.
+def _sort_cols_by_key(key, cols):
+    """Depth-sort feature columns in ONE variadic sort, with a sort-based VJP.
 
-    XLA's autodiff of a gather is a scatter-add (~150 ms at 131k x 16 f32 on
-    v5e). Since `order` is a permutation, the cotangent is g[inv_order] — but
-    a row GATHER of 131k x 16 runs at only ~5 GB/s on TPU (scalar-core
-    driven, ~26 ms at the flagship shape). Sorting the cotangent rows by
-    `order` produces exactly the same permutation through the vectorized
-    sort network instead: ~5 ms measured — 5x faster than the gather."""
-    return feat[order]
-
-
-def _permute_rows_fwd(feat, order):
-    return feat[order], order
-
-
-def _permute_rows_bwd(res, g):
-    order = res
-    f = g.shape[1]
-    ops = jax.lax.sort(
-        (order,) + tuple(g[:, i] for i in range(f)), num_keys=1
-    )
-    return jnp.stack(ops[1:], axis=-1), None
+    Forward: lax.sort carries every feature row (plus an iota that records
+    the permutation) through the vectorized sort network in a single pass —
+    replacing argsort + row gather (a 131k-row gather runs ~5 GB/s on TPU,
+    scalar-core driven). Backward: XLA's autodiff of the equivalent gather
+    would be a scatter-add (~150 ms at this shape); sorting the cotangent
+    rows by the saved order reproduces the inverse permutation through the
+    sort network instead (~5 ms measured)."""
+    g = key.shape[0]
+    iota = jnp.arange(g, dtype=jnp.int32)
+    out = jax.lax.sort((key, iota) + tuple(cols), num_keys=1)
+    return tuple(out[2:])
 
 
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+def _sort_cols_fwd(key, cols):
+    g = key.shape[0]
+    iota = jnp.arange(g, dtype=jnp.int32)
+    out = jax.lax.sort((key, iota) + tuple(cols), num_keys=1)
+    return tuple(out[2:]), out[1]
+
+
+def _sort_cols_bwd(order, gs):
+    ops = jax.lax.sort((order,) + tuple(gs), num_keys=1)
+    return (None, tuple(ops[1:]))
+
+
+_sort_cols_by_key.defvjp(_sort_cols_fwd, _sort_cols_bwd)
 
 
 def build_sorted_features(proj, feature=None):
-    """Projected Gaussians -> depth-sorted (F, G) feature-major rows."""
+    """Projected Gaussians -> depth-sorted (F, G) feature-major rows.
+
+    F = 7 + C live rows only (mean, conic, radius, opacity, C colors): the
+    sort network's cost scales with the payload row count, and the binning
+    kernels route exactly these rows."""
     color = proj.rgb if feature is None else feature
     c = color.shape[-1]
     assert c <= 8
     live = proj.valid & (proj.radius > 0.0)
     depth_key = jnp.where(live, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key).astype(jnp.int32)
 
-    g = proj.mean2d.shape[0]
     big = jnp.float32(1e9)
     cols = [
         jnp.where(live, proj.mean2d[:, 0], big),
@@ -748,6 +867,5 @@ def build_sorted_features(proj, feature=None):
         jnp.where(live, proj.opacity, 0.0),
     ]
     cols.extend(color[:, i] for i in range(c))
-    cols.extend(jnp.zeros((g,), jnp.float32) for _ in range(F - 7 - c))
-    feat = jnp.stack(cols, axis=-1)  # (G, F)
-    return _permute_rows(feat, order).T  # (F, G)
+    sorted_cols = _sort_cols_by_key(depth_key, tuple(cols))
+    return jnp.stack(sorted_cols, axis=0)  # (7 + C, G)

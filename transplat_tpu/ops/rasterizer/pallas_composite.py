@@ -19,12 +19,12 @@ each 16x16-pixel tile against its K Gaussians in lane-sized chunks:
             (mxu.dot_g, ~2^-18 two-way split — M = 3*c_out rows only).
 
 Feature rows of gdat: 0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
-5 radius, 6 opacity, 7.. color channels (padded to F=16 rows; invalid
-worklist entries carry opacity 0).
+5 radius, 6 opacity, 7.. color channels (F = 7 + C rows; invalid worklist
+entries carry opacity 0).
 
-Tile ordering is either raster (sntx=0) or supertile-major "sub4x4"
-(sntx=ntx//4: tiles grouped 4x4 per supertile, as emitted by
-pallas_binning.bin_hierarchical — saves a large re-permutation gather).
+Tile ordering is either raster (levels=None) or tree/path-major (levels =
+the (fy, fx) fan-out tuple used by pallas_binning.bin_tree — consuming the
+binning output directly saves a large re-permutation gather).
 """
 
 from __future__ import annotations
@@ -36,22 +36,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot_g, split3_bf16
+from .mxu import dot_g, split2_bf16, split3_bf16
 from .reference import TRANSMITTANCE_EPS
 
-F = 16  # feature rows (padded)
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
-def _pixel_coords(tile_id, tile_size: int, ntx: int, sntx: int, p: int):
+def _pixel_coords(tile_id, tile_size: int, ntx: int, levels, num_tiles: int,
+                  p: int):
     """Per-tile pixel centers: (P, 1) px and py, float32."""
+    from .pallas_binning import _decode_path
+
     i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    if sntx:
-        s = tile_id // 16
-        wi = tile_id % 16
-        tx = ((s % sntx) * 4 + wi % 4) * tile_size
-        ty = ((s // sntx) * 4 + wi // 4) * tile_size
+    if levels:
+        tty, ttx = _decode_path(tile_id, levels, num_tiles)
+        tx = ttx * tile_size
+        ty = tty * tile_size
     else:
         tx = (tile_id % ntx) * tile_size
         ty = (tile_id // ntx) * tile_size
@@ -60,7 +61,7 @@ def _pixel_coords(tile_id, tile_size: int, ntx: int, sntx: int, p: int):
     return px, py
 
 
-def _lane_cumsum(x, chunk: int, exclusive: bool):
+def _lane_cumsum(x, chunk: int, exclusive: bool, parts: int = 3):
     """Prefix sum along the lane axis via triangular-matrix matmuls.
 
     Exact to f32 accumulation: x is split 3-way into bf16 parts
@@ -73,14 +74,17 @@ def _lane_cumsum(x, chunk: int, exclusive: bool):
     Computed block-hierarchically in 128-lane blocks: each block's local
     prefix is one (3P, 128) x (128, 128) matmul (full MXU lane utilization,
     half the MACs of a monolithic (chunk, chunk) triangle), and the running
-    inter-block offset is a vector reduce + broadcast add."""
+    inter-block offset is a vector reduce + broadcast add.
+
+    parts: 3 = exact f32 (forward transmittance); 2 = <= 2^-18 relative
+    (backward-only sums, checked at rtol 2e-3) — one fewer MXU pass."""
     p = x.shape[0]
     bs = 128 if chunk % 128 == 0 and chunk > 128 else chunk
     nb = chunk // bs
     rows = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
     tri = ((rows < cols) if exclusive else (rows <= cols)).astype(jnp.bfloat16)
-    x3 = split3_bf16(x)  # (3P, chunk)
+    x3 = split3_bf16(x) if parts == 3 else split2_bf16(x)  # (parts*P, chunk)
     outs = []
     offset = jnp.zeros((p, 1), jnp.float32)
     for j in range(nb):
@@ -90,7 +94,10 @@ def _lane_cumsum(x, chunk: int, exclusive: bool):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append(yj[:p] + yj[p : 2 * p] + yj[2 * p :] + offset)
+        total = yj[:p] + yj[p : 2 * p]
+        if parts == 3:
+            total = total + yj[2 * p :]
+        outs.append(total + offset)
         if j + 1 < nb:
             offset = offset + jnp.sum(
                 x[:, j * bs : (j + 1) * bs], axis=1, keepdims=True
@@ -121,17 +128,18 @@ def _chunk_alpha(sl, px, py):
 
 def _composite_fwd_kernel(
     counts_ref, gdat_ref, acc_ref, tfin_ref,
-    *, tile_size: int, ntx: int, sntx: int, num_tiles: int, chunk: int,
-    c_out: int,
+    *, tile_size: int, ntx: int, levels, num_tiles: int, chunk: int,
+    c_out: int, max_chunks: int,
 ):
     p = tile_size * tile_size
-    k = gdat_ref.shape[2]
     i = pl.program_id(0)
-    # Dynamic trip count: skip the all-empty tail of the worklist.
-    count = jnp.minimum(counts_ref[i], k)
+    # Dynamic trip count: skip the all-empty tail of the worklist. max_chunks
+    # = capacity // chunk bounds the sweep to the clean [0, capacity) region
+    # of the worklist.
+    count = jnp.minimum(counts_ref[i], max_chunks * chunk)
     num_chunks = (count + chunk - 1) // chunk
     tile = i % num_tiles  # batch is folded into the grid
-    px, py = _pixel_coords(tile, tile_size, ntx, sntx, p)
+    px, py = _pixel_coords(tile, tile_size, ntx, levels, num_tiles, p)
 
     def prep(ci):
         # Carry-independent per-chunk work (VPU alpha + MXU cumsum).
@@ -166,40 +174,53 @@ def _composite_fwd_kernel(
 
     t_run = jnp.ones((p, 1), jnp.float32)
     acc = jnp.zeros((p, c_out), jnp.float32)
-    if (k // chunk) % 2 == 0:
-        # Pairs: chunk B's prep is carry-independent, so its MXU cumsum
-        # overlaps chunk A's VPU combine. A beyond-count tail chunk is
-        # all-zero worklist padding (alpha 0) — an exact no-op — so rounding
-        # the trip count up to a whole pair is exact.
-        def pair_body(pj, carry):
-            pa = prep(2 * pj)
-            pb = prep(2 * pj + 1)
-            return combine(combine(carry, *pa), *pb)
 
-        t_run, acc = jax.lax.fori_loop(
-            0, (num_chunks + 1) // 2, pair_body, (t_run, acc)
-        )
-    else:
-        def body(ci, carry):
-            return combine(carry, *prep(ci))
+    # Exact-trip software pipelining with saturation early-exit: chunk B's
+    # prep is carry-independent, so its MXU cumsum overlaps chunk A's VPU
+    # combine inside a pair; the odd tail chunk runs as a single conditional
+    # step instead of a rounded-up whole pair. Once EVERY pixel's
+    # transmittance is below TRANSMITTANCE_EPS, later Gaussians contribute
+    # exactly zero (the live gate), so the sweep stops — the same per-tile
+    # termination the reference CUDA kernel applies per saturated pixel
+    # block, and the dominant saver on opaque scenes where pixels saturate
+    # after a few dozen front-to-back Gaussians.
+    def alive(t_run):
+        return jnp.max(t_run) >= TRANSMITTANCE_EPS
 
-        t_run, acc = jax.lax.fori_loop(0, num_chunks, body, (t_run, acc))
+    def pair_cond(state):
+        pj, (t_run, _) = state
+        return (pj < num_chunks // 2) & alive(t_run)
+
+    def pair_body(state):
+        pj, carry = state
+        pa = prep(2 * pj)
+        pb = prep(2 * pj + 1)
+        return pj + 1, combine(combine(carry, *pa), *pb)
+
+    _, (t_run, acc) = jax.lax.while_loop(
+        pair_cond, pair_body, (0, (t_run, acc))
+    )
+    t_run, acc = jax.lax.cond(
+        (num_chunks % 2 == 1) & alive(t_run),
+        lambda carry: combine(carry, *prep(num_chunks - 1)),
+        lambda carry: carry,
+        (t_run, acc),
+    )
     acc_ref[0] = jnp.pad(acc, ((0, 0), (0, 8 - c_out)))
     tfin_ref[0] = t_run.reshape(1, p)
 
 
 def _composite_bwd_kernel(
     counts_ref, gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
-    *, tile_size: int, ntx: int, sntx: int, num_tiles: int, chunk: int,
-    c_out: int,
+    *, tile_size: int, ntx: int, levels, num_tiles: int, chunk: int,
+    c_out: int, max_chunks: int,
 ):
     p = tile_size * tile_size
-    k = gdat_ref.shape[2]
     i = pl.program_id(0)
-    count = jnp.minimum(counts_ref[i], k)
+    count = jnp.minimum(counts_ref[i], max_chunks * chunk)
     num_chunks = (count + chunk - 1) // chunk
     tile = i % num_tiles
-    px, py = _pixel_coords(tile, tile_size, ntx, sntx, p)
+    px, py = _pixel_coords(tile, tile_size, ntx, levels, num_tiles, p)
 
     # The untouched tail must still produce zero gradients.
     dgdat_ref[...] = jnp.zeros(dgdat_ref.shape, dgdat_ref.dtype)
@@ -217,6 +238,9 @@ def _composite_bwd_kernel(
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
+        # MUST stay exact (parts=3): t_before feeds the live >= EPS gate,
+        # which must flip identically to the forward pass — a 2^-18
+        # discrepancy at the boundary toggles a full-size d_alpha term.
         excl = _lane_cumsum(log1m, chunk, exclusive=True)
         # <g, c_k> per pixel-gaussian: (P, CK), c_out VPU broadcast-FMAs.
         g_dot_c = sum(
@@ -231,6 +255,9 @@ def _composite_bwd_kernel(
         live = t_before >= TRANSMITTANCE_EPS
         alpha_t = jnp.where(live, alpha * t_before, 0.0)  # (P, CK)
         s = g_dot_c * alpha_t  # <g, contrib_k>
+        # parts=3: a 2-way split here measured d_conic errors up to ~5e-3 —
+        # the error rides d_power and is amplified by dx^2 (up to radius^2)
+        # and 1/(1-alpha) in the conic/mean gradients.
         prefix_k = prefix + _lane_cumsum(s, chunk, exclusive=False)
         suffix = g_dot_total - prefix_k  # <g, A_k>
 
@@ -272,31 +299,47 @@ def _composite_bwd_kernel(
 
     t_run = jnp.ones((p, 1), jnp.float32)
     prefix = jnp.zeros((p, 1), jnp.float32)
-    if (k // chunk) % 2 == 0:
-        # Pairs (see forward): chunk B's carry-independent prep overlaps
-        # chunk A's combine; the tail chunk is all-zero padding (alpha 0,
-        # g_dot_c x 0), whose dgdat writes are exactly the pre-zeroed value.
-        def pair_body(pj, carry):
-            pa = prep(2 * pj)
-            pb = prep(2 * pj + 1)
-            return combine(combine(carry, *pa), *pb)
 
-        jax.lax.fori_loop(0, (num_chunks + 1) // 2, pair_body, (t_run, prefix))
-    else:
-        def body(ci, carry):
-            return combine(carry, *prep(ci))
+    # Exact-trip pairing with a conditional odd tail and saturation
+    # early-exit (see forward): once all pixels are below TRANSMITTANCE_EPS,
+    # every remaining Gaussian's contribution — and therefore gradient — is
+    # exactly zero, matching the pre-zeroed dgdat.
+    def alive(t_run):
+        return jnp.max(t_run) >= TRANSMITTANCE_EPS
 
-        jax.lax.fori_loop(0, num_chunks, body, (t_run, prefix))
+    def pair_cond(state):
+        pj, (t_run, _) = state
+        return (pj < num_chunks // 2) & alive(t_run)
+
+    def pair_body(state):
+        pj, carry = state
+        pa = prep(2 * pj)
+        pb = prep(2 * pj + 1)
+        return pj + 1, combine(combine(carry, *pa), *pb)
+
+    _, carry = jax.lax.while_loop(pair_cond, pair_body, (0, (t_run, prefix)))
+    jax.lax.cond(
+        (num_chunks % 2 == 1) & alive(carry[0]),
+        lambda c: combine(c, *prep(num_chunks - 1)),
+        lambda c: c,
+        carry,
+    )
 
 
-def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret,
-              c_out):
+def _max_chunks(k, chunk, capacity):
+    cap = k if capacity is None else min(capacity, k)
+    assert cap % chunk == 0
+    return cap // chunk
+
+
+def _fwd_call(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
+              interpret, c_out, capacity):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_fwd_kernel,
-        tile_size=tile_size, ntx=ntx, sntx=sntx, num_tiles=num_tiles,
-        chunk=chunk, c_out=c_out,
+        tile_size=tile_size, ntx=ntx, levels=levels, num_tiles=num_tiles,
+        chunk=chunk, c_out=c_out, max_chunks=_max_chunks(k, chunk, capacity),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -323,15 +366,15 @@ def _fwd_call(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret,
 
 
 def _bwd_call(
-    gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, sntx,
-    num_tiles, chunk, interpret, c_out,
+    gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, levels,
+    num_tiles, chunk, interpret, c_out, capacity,
 ):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_bwd_kernel,
-        tile_size=tile_size, ntx=ntx, sntx=sntx, num_tiles=num_tiles,
-        chunk=chunk, c_out=c_out,
+        tile_size=tile_size, ntx=ntx, levels=levels, num_tiles=num_tiles,
+        chunk=chunk, c_out=c_out, max_chunks=_max_chunks(k, chunk, capacity),
     )
 
     def spec(shape):
@@ -356,33 +399,37 @@ def _bwd_call(
     )(counts, gdat, gacc, gtfin, accres, tfinres)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
-def composite_pallas(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk,
-                     interpret, c_out=8):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def composite_pallas(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
+                     interpret, c_out=8, capacity=None):
     """gdat: (B*T, F, K), counts: (B*T,) int32 worklist lengths
-    -> (acc (B*T, P, 8), t_final (B*T, 1, P)). sntx=0 for raster tile order,
-    ntx//4 for supertile-major (sub4x4) order. c_out: number of live color
-    channels (static); acc channels >= c_out are zero."""
+    -> (acc (B*T, P, 8), t_final (B*T, 1, P)). levels=None for raster tile
+    order, or the bin_tree fan-out tuple for tree/path-major order. c_out:
+    number of live color channels (static); acc channels >= c_out are zero.
+    capacity bounds the compositing sweep to the clean prefix of the
+    worklist; None means all K columns are in play."""
     return _fwd_call(
-        gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret, c_out
+        gdat, counts, tile_size, ntx, levels, num_tiles, chunk, interpret,
+        c_out, capacity,
     )
 
 
-def _vjp_fwd(gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret,
-             c_out):
+def _vjp_fwd(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
+             interpret, c_out, capacity):
     acc, tfin = _fwd_call(
-        gdat, counts, tile_size, ntx, sntx, num_tiles, chunk, interpret, c_out
+        gdat, counts, tile_size, ntx, levels, num_tiles, chunk, interpret,
+        c_out, capacity,
     )
     return (acc, tfin), (gdat, counts, acc, tfin)
 
 
-def _vjp_bwd(tile_size, ntx, sntx, num_tiles, chunk, interpret, c_out,
-             residuals, cotangents):
+def _vjp_bwd(tile_size, ntx, levels, num_tiles, chunk, interpret, c_out,
+             capacity, residuals, cotangents):
     gdat, counts, acc, tfin = residuals
     gacc, gtfin = cotangents
     dgdat = _bwd_call(
-        gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, sntx, num_tiles,
-        chunk, interpret, c_out,
+        gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, levels,
+        num_tiles, chunk, interpret, c_out, capacity,
     )
     return (dgdat, None)
 
