@@ -70,34 +70,60 @@ class LPIPS(nn.Module):
         return total
 
 
-def load_lpips_weights(variables, torch_state_dict):
+def load_lpips_weights(variables, torch_state_dict, strict: bool = True):
     """Inject converted lpips(net='vgg') torch weights into LPIPS variables.
 
-    torch_state_dict: flat dict of numpy arrays with lpips's names
-    (net.slice*.weight/bias for VGG convs in torchvision order, lin*.model.1.weight
-    for heads). Returns updated variables.
+    torch_state_dict: flat dict of numpy arrays in either naming scheme —
+    torchvision ('features.N.weight') or the lpips package's slice wrapper
+    ('net.sliceK.N.weight', where N keeps torchvision's global feature
+    index), optionally under an extra prefix (e.g. a Lightning checkpoint's
+    'losses.*.lpips.'). Heads match any key ending 'lin{i}.model.1.weight'.
+    strict: require all 13 VGG convs (a partial load silently leaves random
+    conv weights — worse than failing).
     """
     import numpy as np
+
+    def conv_index(k):
+        parts = k.split(".")
+        if not k.endswith(".weight") or "model" in parts:
+            return None
+        if not ("features" in parts or any(p.startswith("slice") for p in parts)):
+            return None
+        try:
+            return int(parts[-2])  # torchvision feature index (globally unique)
+        except ValueError:
+            return None
 
     params = dict(variables["params"])
     vgg_params = {k: dict(v) for k, v in params["vgg"].items()}
 
     conv_keys = sorted(
-        (k for k in torch_state_dict if "features" in k and k.endswith("weight")),
-        key=lambda k: int(k.split(".")[-2]),
+        (k for k in torch_state_dict if conv_index(k) is not None),
+        key=conv_index,
     )
+    if strict and len(conv_keys) != 13:
+        raise ValueError(
+            f"expected 13 VGG conv weights, matched {len(conv_keys)}: "
+            f"{conv_keys[:4]}..."
+        )
     for i, wk in enumerate(conv_keys):
-        bk = wk.replace("weight", "bias")
+        bk = wk[: -len("weight")] + "bias"
         w = np.asarray(torch_state_dict[wk]).transpose(2, 3, 1, 0)
         vgg_params[f"conv{i}"] = {
             "kernel": jnp.asarray(w),
             "bias": jnp.asarray(torch_state_dict[bk]),
         }
     params["vgg"] = vgg_params
+    n_heads = 0
     for i in range(5):
-        key = f"lin{i}.model.1.weight"
-        if key in torch_state_dict:
-            params[f"lin{i}"] = jnp.asarray(
-                np.asarray(torch_state_dict[key]).reshape(-1)
-            )
+        suffix = f"lin{i}.model.1.weight"
+        for key in torch_state_dict:
+            if key.endswith(suffix):
+                params[f"lin{i}"] = jnp.asarray(
+                    np.asarray(torch_state_dict[key]).reshape(-1)
+                )
+                n_heads += 1
+                break
+    if strict and n_heads != 5:
+        raise ValueError(f"expected 5 LPIPS linear heads, matched {n_heads}")
     return {**variables, "params": params}

@@ -88,15 +88,22 @@ def main():
             0, batch_size=1, image_shape=tuple(cfg.dataset.image_shape)
         )
         state = create_train_state(
-            jax.random.PRNGKey(0), cfg.encoder, optimizer, init_batch
+            jax.random.PRNGKey(0), cfg.encoder, optimizer, init_batch,
+            ckpt_cfg=cfg.checkpointing,
         )
+        if cfg.checkpointing.pretrained_model or cfg.checkpointing.dav2_weights:
+            print(
+                "loaded pretrained weights: "
+                f"model={cfg.checkpointing.pretrained_model} "
+                f"dav2={cfg.checkpointing.dav2_weights}"
+            )
         if cfg.checkpointing.load:
             manager = CheckpointManager(cfg.checkpointing.load)
             restored = manager.restore(state)
             if restored is not None:
                 state = restored
                 print(f"loaded checkpoint at step {int(state.step)}")
-        lpips_params = None
+        lpips_params = state.lpips_params  # Lightning ckpts embed LPIPS
         if cfg.checkpointing.lpips_weights:
             import numpy as np
 
