@@ -112,16 +112,45 @@ def main():
     dt = time.perf_counter() - t0
 
     mpix_s = b * h * w * inner * outer / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "rasterizer_fwd_bwd_throughput",
-                "value": round(mpix_s, 2),
-                "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
-            }
-        )
+    record = {
+        "metric": "rasterizer_fwd_bwd_throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }
+    record.update(_train_step_metric())
+    print(json.dumps(record))
+
+
+def _train_step_metric(timeout_s: int = 1500) -> dict:
+    """Full-train-step ms (encoder+decoder+losses+Adam, b=1, 4 target views)
+    as extra fields on the benchmark line, so encoder/decoder regressions
+    surface in BENCH_r*.json next to the rasterizer number. Runs in a bounded
+    subprocess: a cold-cache compile or failure must not cost the headline
+    metric. Skip with TRANSPLAT_BENCH_TRAIN=0."""
+    if os.environ.get("TRANSPLAT_BENCH_TRAIN", "1") == "0":
+        return {}
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_train_step.py"
     )
+    try:
+        out = subprocess.run(
+            [sys.executable, script],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    except Exception:
+        pass
+    return {"train_step_ms": None}
 
 
 if __name__ == "__main__":

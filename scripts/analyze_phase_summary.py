@@ -40,7 +40,10 @@ PHASES = {
 
 
 def summarize(benchmark: dict) -> dict:
-    summary = benchmark["summary"] if "summary" in benchmark else benchmark
+    if "rows" in benchmark:  # scripts/profile_stages.py output
+        summary = {r["stage"]: r for r in benchmark["rows"]}
+    else:
+        summary = benchmark["summary"] if "summary" in benchmark else benchmark
     phases = {}
     for phase, stages in PHASES.items():
         ms = sum(summary[s]["mean_ms"] for s in stages if s in summary)

@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# One-command benchmark + profiling + analysis suite on the real chip.
+#
+# TPU equivalent of the reference's scripts/run_all_timing_tests.sh: produces
+# the rasterizer benchmark, the full-train-step number, stage-resolved timing
+# (encoder_1..4f taxonomy) with HBM/FLOP cost analysis, the rasterizer
+# kernel-stage attribution, and the 4-phase summary — all into one artifact
+# directory.
+#
+# Usage:  scripts/run_all_tests.sh [output_dir]     (default outputs/testsuite)
+# A captured run from the real chip is committed under artifacts/.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+OUT=${1:-outputs/testsuite}
+mkdir -p "$OUT"
+
+echo "== rasterizer + train-step benchmark (bench.py) =="
+python bench.py | tee "$OUT/bench.json"
+
+echo "== rasterizer kernel-stage attribution =="
+python scripts/bench_binning.py --iters 6 2>/dev/null | tee "$OUT/raster_stages.txt"
+
+echo "== train-step stage attribution =="
+python scripts/bench_train_stages.py --iters 4 2>/dev/null | tee "$OUT/train_stages.txt"
+
+echo "== encoder stage taxonomy + HBM/FLOP cost analysis =="
+python scripts/profile_stages.py --iters 5 --out "$OUT/stage_profile.json" 2>/dev/null \
+  | tee "$OUT/stage_profile.txt"
+
+echo "== 4-phase summary =="
+python scripts/analyze_phase_summary.py "$OUT/stage_profile.json" \
+  --out "$OUT/phase_summary.json" 2>/dev/null | tee "$OUT/phase_summary.txt" || true
+
+echo "== sampling locality analysis =="
+python scripts/analyze_sampling_locality.py 2>/dev/null | tee "$OUT/sampling_locality.txt" || true
+
+echo "== VMEM efficiency model =="
+python scripts/analyze_vmem_efficiency.py 2>/dev/null | tee "$OUT/vmem_efficiency.txt" || true
+
+echo
+echo "artifacts in $OUT"

@@ -1,0 +1,100 @@
+"""Evaluator harness on synthetic batches: metrics, overflow counter,
+wobble+interpolation videos, per-scene PLY export, and the helpful error for
+a missing evaluation index (reference test_step machinery,
+model_wrapper.py:185-343,617-666)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from transplat_tpu.config import RootCfg, TestCfg
+from transplat_tpu.dataset.loader import synthetic_batch
+from transplat_tpu.dataset.re10k import DatasetCfg
+from transplat_tpu.evaluation.evaluator import Evaluator
+from transplat_tpu.model.adapter import GaussianAdapterCfg
+from transplat_tpu.model.decoder import DecoderCfg
+from transplat_tpu.model.encoder import EncoderCfg
+from transplat_tpu.ops.rasterizer.api import RasterizeConfig
+from transplat_tpu.training.schedule import make_lr_schedule
+from transplat_tpu.training.step import create_train_state, make_optimizer
+
+pytestmark = pytest.mark.slow
+
+H = W = 16
+
+
+@pytest.fixture(scope="module")
+def evaluator():
+    enc_cfg = EncoderCfg(
+        d_feature=16,
+        num_depth_candidates=16,
+        num_context_views=2,
+        costvolume_unet_feat_dim=16,
+        costvolume_unet_channel_mult=(1, 1),
+        costvolume_unet_attn_res=(2,),
+        depth_unet_feat_dim=8,
+        depth_unet_attn_res=(4,),
+        depth_unet_channel_mult=(1, 1, 1),
+        dav2_encoder="vits",
+        dav2_input_size=28,
+        gaussian_adapter=GaussianAdapterCfg(sh_degree=1),
+    )
+    cfg = RootCfg(
+        dataset=DatasetCfg(roots=[], image_shape=(H, W)),
+        encoder=enc_cfg,
+        decoder=DecoderCfg(
+            rasterize=RasterizeConfig(
+                capacity=128, chunk=64, max_tiles_per_gaussian=8
+            )
+        ),
+        test=TestCfg(save_video=True, save_ply=True, analyze=True),
+    )
+    batch = synthetic_batch(0, batch_size=1, image_shape=(H, W), num_target=2)
+    optimizer = make_optimizer(make_lr_schedule(2e-4, 100))
+    state = create_train_state(jax.random.PRNGKey(0), enc_cfg, optimizer, batch)
+    ev = Evaluator(
+        cfg, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    return ev, batch
+
+
+def test_evaluate_batch_metrics(evaluator):
+    ev, batch = evaluator
+    scores, color = ev.evaluate_batch(batch)
+    assert np.isfinite(scores["psnr"]) and np.isfinite(scores["ssim"])
+    assert "render_overflow" in scores and scores["render_overflow"] >= 0
+    assert "lpips" not in scores  # uncalibrated LPIPS is skipped
+    assert color.shape == (1, 2, H, W, 3)
+
+
+def test_analysis_layer_runs_and_dumps(evaluator, tmp_path):
+    ev, batch = evaluator
+    ev.scores.setdefault("scene0", {"psnr": 30.0, "ssim": 0.9, "render_overflow": 0})
+    if "scene0" not in ev.analysis_stats:
+        ev.evaluate_batch({**batch, "scene": ["scene0"]})
+    stats = ev.analysis_stats["scene0"]
+    assert set(stats) == {"contribution", "adjacent", "pdf", "feature_depth"}
+    assert 0.0 <= stats["contribution"]["visible_ratio"] <= 1.0
+    assert 0.0 <= stats["pdf"]["normalized_entropy"] <= 1.0 + 1e-6
+    ev.finalize(tmp_path)
+    assert (tmp_path / "analysis_per_scene.json").exists()
+    assert (tmp_path / "analysis_avg.json").exists()
+
+
+def test_video_and_ply_artifacts(evaluator, tmp_path):
+    ev, batch = evaluator
+    ev.render_video(batch, tmp_path, num_frames=3)
+    assert (tmp_path / "wobble.mp4").exists()
+    assert (tmp_path / "interpolation.mp4").exists()
+    ev.export_ply(batch, tmp_path / "gaussians.ply")
+    data = (tmp_path / "gaussians.ply").read_bytes()
+    assert data.startswith(b"ply") and len(data) > 1000
+
+
+def test_missing_index_errors_helpfully(evaluator):
+    ev, _ = evaluator
+    assert ev.cfg.test.evaluation_index is None
+    with pytest.raises(ValueError, match="evaluation_index"):
+        ev.make_dataset()

@@ -56,9 +56,14 @@ class TestCfg:
     eval_time_skip_steps: int = 5
     save_image: bool = False
     save_video: bool = False
+    save_ply: bool = False  # per-scene 3DGS .ply export in test mode
     evaluation_index: str | None = None
     # Stage-resolved timing (encoder_1..4f taxonomy) via per-stage jits.
     stage_timing: bool = False
+    # Workload analysis per scene (Gaussian contribution/redundancy, depth-PDF
+    # sharpness, feature-depth correlation) dumped to analysis_*.json —
+    # reference TestCfg analyze_* flags (model_wrapper.py:223-276).
+    analyze: bool = False
 
 
 @dataclass

@@ -97,8 +97,12 @@ class ChunkDataset:
         self.view_sampler = view_sampler
         self.rng = np.random.default_rng(seed + shard_id)
         self.chunks: list[Path] = []
+        # RE10K ships train/ and test/ only; the val stage reads the test
+        # chunks (held out from the optimizer) with val-stage sampling —
+        # reference data_stage property, dataset_re10k.py:253-259.
+        data_stage = "test" if stage == "val" else stage
         for root in cfg.roots:
-            stage_dir = Path(root) / stage
+            stage_dir = Path(root) / data_stage
             if stage_dir.exists():
                 self.chunks.extend(sorted(stage_dir.glob("*.torch")))
         self.chunks = self.chunks[shard_id::num_shards]

@@ -35,6 +35,7 @@ class Evaluator:
         self.lpips = LPIPS()
         self.benchmarker = Benchmarker()
         self.scores: dict[str, dict] = {}
+        self.analysis_stats: dict[str, dict] = {}
 
         image_shape = tuple(cfg.dataset.image_shape)
 
@@ -46,10 +47,11 @@ class Evaluator:
         def decode(gaussians, extr, intr, near, far):
             return decode_splatting(
                 gaussians, extr, intr, near, far, image_shape, cfg=cfg.decoder
-            ).color
+            )
 
         self._encode = jax.jit(encode)
         self._decode = jax.jit(decode)
+        self._encode_aux = None  # built lazily for PLY export
 
         # Stage-resolved profiling (reference taxonomy encoder_1..4f..5,
         # model_wrapper.py:381-395) via separately-jitted stage functions.
@@ -61,6 +63,13 @@ class Evaluator:
 
     def make_dataset(self, stage: str = "test"):
         index_path = self.cfg.test.evaluation_index
+        if index_path is None:
+            raise ValueError(
+                "cfg.test.evaluation_index is not set: evaluation uses fixed "
+                "context/target indices (reference assets/evaluation_index_*"
+                ".json). Point it at an index JSON, or create one with "
+                "`python -m transplat_tpu.main generate-index`."
+            )
         sampler = ViewSamplerEvaluation(index_path)
         return ChunkDataset(self.cfg.dataset, stage, sampler)
 
@@ -80,13 +89,14 @@ class Evaluator:
             jax.block_until_ready(gaussians.means)
         tv = tgt["image"].shape[1]
         with self.benchmarker.time("decoder", num_calls=tv):
-            color = self._decode(
+            out = self._decode(
                 gaussians,
                 jnp.asarray(tgt["extrinsics"]),
                 jnp.asarray(tgt["intrinsics"]),
                 jnp.asarray(tgt["near"]),
                 jnp.asarray(tgt["far"]),
             )
+            color, overflow = out.color, out.overflow
             jax.block_until_ready(color)
 
         target = jnp.asarray(tgt["image"])
@@ -95,11 +105,52 @@ class Evaluator:
         result = {
             "psnr": np.asarray(compute_psnr(flat_t, flat_p)).mean().item(),
             "ssim": np.asarray(compute_ssim(flat_t, flat_p)).mean().item(),
+            "render_overflow": int(np.asarray(overflow).sum()),
         }
         if self.lpips_params is not None:
             lp = self.lpips.apply({"params": self.lpips_params}, flat_p, flat_t)
             result["lpips"] = np.asarray(lp).mean().item()
+        if self.cfg.test.analyze:
+            self.analysis_stats[batch["scene"][0]] = self._analyze(
+                ctx, gaussians, out.radii
+            )
         return result, np.asarray(color)
+
+    def _analyze(self, ctx, gaussians, radii) -> dict:
+        """Per-scene workload analysis (the fork's research layer): Gaussian
+        contribution/visibility from rasterizer radii, adjacent-depth
+        redundancy, depth-PDF sharpness, feature-depth correlation —
+        reference hooks model_wrapper.py:223-276 backed by
+        scripts/analyze_*.py; math in utils/analysis.py."""
+        from ..utils.analysis import (
+            adjacent_gaussian_similarity,
+            depth_pdf_stats,
+            feature_depth_correlation,
+            gaussian_contribution_stats,
+        )
+
+        if self._encode_aux is None:
+            self._build_encode_aux()
+        _, aux = self._encode_aux(
+            jnp.asarray(ctx["image"]),
+            jnp.asarray(ctx["intrinsics"]),
+            jnp.asarray(ctx["extrinsics"]),
+            jnp.asarray(ctx["near"]),
+            jnp.asarray(ctx["far"]),
+        )
+        opac = jnp.broadcast_to(
+            gaussians.opacities[:, None], radii.shape
+        )
+        return {
+            "contribution": gaussian_contribution_stats(radii, opac),
+            "adjacent": adjacent_gaussian_similarity(
+                aux["depths"], gaussians.opacities
+            ),
+            "pdf": depth_pdf_stats(aux["pdf"]),
+            "feature_depth": feature_depth_correlation(
+                aux["features"], aux["depths"]
+            ),
+        }
 
     def run(self, max_scenes: int | None = None, save_images: bool = False):
         cfg = self.cfg
@@ -122,18 +173,25 @@ class Evaluator:
                         color[0, t], out_dir / scene / f"color/{t:04d}.png"
                     )
             if cfg.test.save_video:
-                self.render_video(batch, out_dir / scene / "video.mp4")
+                self.render_video(batch, out_dir / scene)
+            if cfg.test.save_ply:
+                self.export_ply(batch, out_dir / scene / "gaussians.ply")
 
         self.finalize(out_dir)
         return self.scores
 
-    def render_video(self, batch: dict, path, num_frames: int = 30) -> None:
-        """Wobble-trajectory video from the first context view
-        (model_wrapper.py:713-790 equivalent)."""
+    def render_video(self, batch: dict, out_dir, num_frames: int = 30) -> None:
+        """Wobble AND interpolation trajectory videos from the context views
+        (reference render_video_wobble / render_video_interpolation,
+        model_wrapper.py:617-666)."""
         import numpy as np
 
         from ..utils.image_io import save_video
-        from ..visualization.trajectory import generate_wobble, interpolate_intrinsics
+        from ..visualization.trajectory import (
+            generate_wobble,
+            interpolate_extrinsics,
+            interpolate_intrinsics,
+        )
 
         ctx = batch["context"]
         gaussians = self._encode(
@@ -144,21 +202,65 @@ class Evaluator:
             jnp.asarray(ctx["far"]),
         )
         extr = np.asarray(ctx["extrinsics"][0])
-        delta = np.linalg.norm(extr[0, :3, 3] - extr[-1, :3, 3]) * 0.25 + 1e-3
+        intr0 = np.asarray(ctx["intrinsics"][0])
         t = np.linspace(0, 1, num_frames)
-        cams = generate_wobble(extr[0], np.asarray(delta), t)  # (T, 4, 4)
-        intr = np.repeat(np.asarray(ctx["intrinsics"][0, :1]), num_frames, 0)
+
+        delta = np.linalg.norm(extr[0, :3, 3] - extr[-1, :3, 3]) * 0.25 + 1e-3
+        trajectories = {
+            "wobble": (
+                generate_wobble(extr[0], np.asarray(delta), t),
+                np.repeat(intr0[:1], num_frames, 0),
+            ),
+            "interpolation": (
+                interpolate_extrinsics(extr[0], extr[-1], t),
+                interpolate_intrinsics(intr0[0], intr0[-1], t),
+            ),
+        }
         near = np.full((1, num_frames), float(ctx["near"][0, 0]), np.float32)
         far = np.full((1, num_frames), float(ctx["far"][0, 0]), np.float32)
-        color = self._decode(
-            gaussians,
-            jnp.asarray(cams)[None],
-            jnp.asarray(intr)[None],
-            jnp.asarray(near),
-            jnp.asarray(far),
+        out_dir = Path(out_dir)
+        for name, (cams, intr) in trajectories.items():
+            color = self._decode(
+                gaussians,
+                jnp.asarray(cams)[None],
+                jnp.asarray(np.asarray(intr, np.float32))[None],
+                jnp.asarray(near),
+                jnp.asarray(far),
+            ).color
+            frames = [np.asarray(color[0, i]) for i in range(num_frames)]
+            save_video(frames, out_dir / f"{name}.mp4")
+
+    def _build_encode_aux(self):
+        def encode_aux(image, intr, extr, near, far):
+            return self.model.apply(
+                self.variables, image, intr, extr, near, far, return_aux=True
+            )
+
+        self._encode_aux = jax.jit(encode_aux)
+
+    def export_ply(self, batch: dict, path) -> None:
+        """Per-scene 3DGS-standard .ply of the predicted Gaussians (reference
+        test artifacts; ply_export.py)."""
+        from ..visualization.ply_export import export_ply
+
+        ctx = batch["context"]
+        if self._encode_aux is None:
+            self._build_encode_aux()
+        gaussians, aux = self._encode_aux(
+            jnp.asarray(ctx["image"]),
+            jnp.asarray(ctx["intrinsics"]),
+            jnp.asarray(ctx["extrinsics"]),
+            jnp.asarray(ctx["near"]),
+            jnp.asarray(ctx["far"]),
         )
-        frames = [np.asarray(color[0, i]) for i in range(num_frames)]
-        save_video(frames, path)
+        export_ply(
+            np.asarray(gaussians.means[0]),
+            np.asarray(aux["scales"][0]),
+            np.asarray(aux["rotations"][0]),
+            np.asarray(gaussians.harmonics[0]),
+            np.asarray(gaussians.opacities[0]),
+            path,
+        )
 
     def finalize(self, out_dir: Path):
         if not self.scores:
@@ -171,6 +273,22 @@ class Evaluator:
             json.dump(self.scores, f, indent=2)
         with open(out_dir / "scores_all_avg.json", "w") as f:
             json.dump(avg, f, indent=2)
+        if self.analysis_stats:
+            per = self.analysis_stats
+            groups = next(iter(per.values())).keys()
+            analysis_avg = {
+                g: {
+                    k: float(np.mean([per[s][g][k] for s in per]))
+                    for k in next(iter(per.values()))[g]
+                    if isinstance(next(iter(per.values()))[g][k], (int, float))
+                }
+                for g in groups
+            }
+            with open(out_dir / "analysis_per_scene.json", "w") as f:
+                json.dump(per, f, indent=2)
+            with open(out_dir / "analysis_avg.json", "w") as f:
+                json.dump(analysis_avg, f, indent=2)
+            print("analysis averages:", json.dumps(analysis_avg, indent=1))
         self.benchmarker.dump(
             out_dir / "benchmark.json", skip_first=self.cfg.test.eval_time_skip_steps
         )

@@ -33,6 +33,7 @@ class DecoderOutput(NamedTuple):
     color: jnp.ndarray  # (b, tv, h, w, 3)
     depth: jnp.ndarray | None  # (b, tv, h, w) or None
     radii: jnp.ndarray  # (b, tv, g)
+    overflow: jnp.ndarray  # (b, tv) worklist entries dropped at capacity
 
 
 @dataclass(frozen=True)
@@ -84,6 +85,7 @@ def decode_splatting(
     )
     color = out.color.reshape(b, tv, *image_shape, 3)
     radii = out.radii.reshape(b, tv, g)
+    overflow = out.overflow.reshape(b, tv)
 
     depth = None
     if depth_mode is not None:
@@ -100,7 +102,7 @@ def decode_splatting(
             cfg=cfg.rasterize,
         ).reshape(b, tv, *image_shape)
 
-    return DecoderOutput(color=color, depth=depth, radii=radii)
+    return DecoderOutput(color=color, depth=depth, radii=radii, overflow=overflow)
 
 
 def _decode_splatting_sharded(
@@ -118,6 +120,7 @@ def _decode_splatting_sharded(
         color=P("dp", "sp"),
         depth=P("dp", "sp") if depth_mode is not None else None,
         radii=P("dp", "sp"),
+        overflow=P("dp", "sp"),
     )
 
     @partial(

@@ -188,5 +188,9 @@ class EncoderTranSplat(nn.Module):
             aux["depths"] = depths.reshape(b, v, h, w)
             aux["scales"] = out["scales"].reshape(b, v * r, 3)
             aux["rotations"] = out["rotations"].reshape(b, v * r, 4)
+            # Backbone matching features at 1/4 res, NHWC — the reference's
+            # _last_trans_features stash consumed by the analysis layer
+            # (encoder_trans.py:286-291).
+            aux["features"] = trans_features
             return gaussians, aux
         return gaussians

@@ -229,9 +229,11 @@ class Trainer:
 
         # Run-config snapshot (the reference dumps the resolved config to the
         # wandb run, main.py:74-94; this is the tracker-less equivalent).
+        # Written next to the run's checkpoints so concurrent runs with
+        # distinct save_dirs never clobber each other's snapshots.
         import dataclasses, json as _json
 
-        p = Path("outputs/config.json")
+        p = Path(cfg.checkpointing.save_dir) / "config.json"
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_text(_json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
@@ -245,6 +247,19 @@ class Trainer:
 
             loader = DataLoader(epochs(), cfg.trainer.batch_size)
             data_iter = iter(loader)
+
+        # Held-out validation stream (the reference's ValidationWrapper'd val
+        # dataset, data_module.py:90-103: val reads the test split, 1 sample
+        # per validation). Falls back to the current training batch only when
+        # no held-out chunks exist (synthetic-data drives).
+        val_iter = None
+        val_dataset = self.make_dataset("val")
+        if val_dataset.chunks:
+            def val_epochs():
+                while True:
+                    yield from val_dataset.iter_examples(lambda: self.global_step)
+
+            val_iter = iter(DataLoader(val_epochs(), 1))
 
         # Initialize from the first batch. LPIPS joins the loss only with
         # calibrated converted weights (random-init LPIPS is a noise term).
@@ -267,7 +282,14 @@ class Trainer:
             self.optimizer,
             first,
             lpips_params=lpips_params,
+            ckpt_cfg=cfg.checkpointing,
         )
+        if cfg.checkpointing.pretrained_model or cfg.checkpointing.dav2_weights:
+            self.log(
+                "loaded pretrained weights: "
+                f"model={cfg.checkpointing.pretrained_model} "
+                f"dav2={cfg.checkpointing.dav2_weights}"
+            )
         restored = self.ckpt.restore(state)
         if restored is not None:
             # Restored arrays land on a single device; re-replicate over the mesh.
@@ -279,10 +301,13 @@ class Trainer:
 
         # Sanity validation + interval schedule (the reference's Lightning
         # num_sanity_val_steps / val_check_interval, main.yaml:69-70).
+        def next_val_batch(fallback):
+            return next(val_iter) if val_iter is not None else fallback
+
         v = cfg.trainer.val_check_interval
         val_interval = max(1, int(v if v > 1 else v * max_steps))
         for _ in range(max(0, cfg.trainer.num_sanity_val_steps)):
-            metrics = self.validate(state, first)
+            metrics = self.validate(state, next_val_batch(first))
             self.log(f"sanity validation: psnr={metrics['val_psnr']:.2f}")
 
         rng = jax.random.PRNGKey(cfg.trainer.seed + 1)
@@ -310,7 +335,7 @@ class Trainer:
                 )
                 self._log_metrics({"step": self.global_step, "s_per_it": dt / 50, **metrics})
             if self.global_step % val_interval == 0:
-                val_metrics = self.validate(state, batch)
+                val_metrics = self.validate(state, next_val_batch(batch))
                 self._log_metrics({"step": self.global_step, **val_metrics})
             self.ckpt.maybe_save(self.global_step, state)
 
