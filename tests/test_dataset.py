@@ -129,6 +129,36 @@ class TestChunkDataset:
         assert batches[0]["context"]["image"].shape == (2, 2, 64, 64, 3)
         assert len(batches[0]["scene"]) == 2
 
+    def test_multi_worker_loader(self, chunk_dir):
+        """Process-parallel loading produces well-formed batches from every
+        worker's chunk shard (reference num_workers > 0 DataLoader)."""
+        from transplat_tpu.dataset.loader import MultiWorkerLoader
+
+        cfg = DatasetCfg(roots=[str(chunk_dir)], image_shape=(64, 64))
+
+        def make_worker_iter(w):
+            sampler = ViewSamplerBounded(
+                BoundedCfg(
+                    min_distance_between_context_views=4,
+                    max_distance_between_context_views=10,
+                    warm_up_steps=0,
+                    num_target_views=2,
+                ),
+                stage="train",
+            )
+            # 1 chunk file: worker 0 gets it, worker 1's shard is empty.
+            ds = ChunkDataset(
+                cfg, "train", sampler, seed=w, shard_id=w, num_shards=2
+            )
+            return iter(ds)
+
+        loader = MultiWorkerLoader(make_worker_iter, num_workers=2, batch_size=2)
+        batches = list(loader)
+        assert len(batches) >= 1
+        for b in batches:
+            assert b["context"]["image"].shape == (2, 2, 64, 64, 3)
+            assert len(b["scene"]) == 2
+
 
 class TestShims:
     def test_crop_shim_intrinsics(self):

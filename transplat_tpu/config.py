@@ -36,6 +36,9 @@ class TrainerCfg:
     num_sanity_val_steps: int = 2
     val_save_media: bool = True  # ortho projections + wobble video per val
     batch_size: int = 2  # per device
+    # Data-loading worker processes per host (reference trains with 10,
+    # config/main.yaml:23); 0 = single prefetch thread.
+    num_workers: int = 4
     seed: int = 111123
 
 

@@ -63,6 +63,71 @@ class DataLoader:
             yield item
 
 
+class MultiWorkerLoader:
+    """Process-parallel batch loading (the reference's num_workers > 0
+    DataLoader, config/main.yaml:23 uses 10 train workers).
+
+    make_worker_iter(worker_id) -> iterable of examples; each worker process
+    assembles whole batches from its own chunk shard and pushes them through
+    one shared queue (batch order across workers is nondeterministic, as
+    with torch's IterableDataset + workers). Forked workers inherit the
+    factory closure, so curriculum state must be shared explicitly — pass a
+    multiprocessing.Value and read it inside the closure (the reference's
+    StepTracker shared-memory tensor, src/misc/step_tracker.py).
+    """
+
+    def __init__(
+        self,
+        make_worker_iter,
+        num_workers: int,
+        batch_size: int,
+        prefetch: int = 4,
+        finite: bool = False,
+    ):
+        self.make_worker_iter = make_worker_iter
+        self.num_workers = max(1, num_workers)
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+        self.finite = finite
+
+    def _worker(self, worker_id: int, q) -> None:
+        buf = []
+        try:
+            for example in self.make_worker_iter(worker_id):
+                buf.append(example)
+                if len(buf) == self.batch_size:
+                    q.put(_stack_examples(buf))
+                    buf = []
+        finally:
+            q.put(None)  # per-worker sentinel (finite datasets)
+
+    def __iter__(self) -> Iterator[dict]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        q = ctx.Queue(maxsize=self.prefetch * self.num_workers)
+        procs = [
+            ctx.Process(target=self._worker, args=(w, q), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+        done = 0
+        try:
+            while done < self.num_workers:
+                item = q.get()
+                if item is None:
+                    done += 1
+                    continue
+                yield item
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=2)
+
+
 def synthetic_batch(
     key: int = 0,
     batch_size: int = 1,

@@ -237,16 +237,51 @@ class Trainer:
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_text(_json.dumps(dataclasses.asdict(cfg), default=str, indent=1))
 
+        self._shared_step = None
         if data_iter is None:
-            dataset = self.make_dataset("train")
+            nw = getattr(cfg.trainer, "num_workers", 0)
+            if nw > 0:
+                # Multi-process loading (reference: 10 train workers,
+                # config/main.yaml:23). Curriculum state crosses the fork via
+                # a shared Value (the reference's StepTracker shared-memory
+                # tensor, src/misc/step_tracker.py).
+                import multiprocessing as mp
 
-            def epochs():
-                while True:
-                    # Curriculum: the sampler reads the live global step.
-                    yield from dataset.iter_examples(lambda: self.global_step)
+                from ..dataset.loader import MultiWorkerLoader
 
-            loader = DataLoader(epochs(), cfg.trainer.batch_size)
-            data_iter = iter(loader)
+                self._shared_step = mp.Value("l", self.global_step)
+                shared = self._shared_step
+
+                def make_worker_iter(worker_id, _nw=nw):
+                    sampler = ViewSamplerBounded(cfg.view_sampler, stage="train")
+                    ds = ChunkDataset(
+                        cfg.dataset,
+                        "train",
+                        sampler,
+                        seed=cfg.trainer.seed + worker_id,
+                        shard_id=jax.process_index() * _nw + worker_id,
+                        num_shards=jax.process_count() * _nw,
+                    )
+
+                    def epochs():
+                        while True:
+                            yield from ds.iter_examples(lambda: shared.value)
+
+                    return epochs()
+
+                data_iter = iter(
+                    MultiWorkerLoader(make_worker_iter, nw, cfg.trainer.batch_size)
+                )
+            else:
+                dataset = self.make_dataset("train")
+
+                def epochs():
+                    while True:
+                        # Curriculum: the sampler reads the live global step.
+                        yield from dataset.iter_examples(lambda: self.global_step)
+
+                loader = DataLoader(epochs(), cfg.trainer.batch_size)
+                data_iter = iter(loader)
 
         # Held-out validation stream (the reference's ValidationWrapper'd val
         # dataset, data_module.py:90-103: val reads the test split, 1 sample
@@ -324,6 +359,8 @@ class Trainer:
             rng, step_rng = jax.random.split(rng)
             state, metrics = self.step_fn(state, device_batch, step_rng)
             self.global_step += 1
+            if self._shared_step is not None:
+                self._shared_step.value = self.global_step
 
             if self.global_step % 50 == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
