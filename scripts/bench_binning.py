@@ -56,13 +56,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ablate", action="store_true")
     ap.add_argument("--bin-chunk", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--window", type=int, default=4096)
     args = ap.parse_args()
 
     b, g = args.views, args.gaussians
     h = w = 256
     cfg = RasterizeConfig(
-        capacity=1024, chunk=256, bin_chunk=args.bin_chunk,
+        capacity=1024, chunk=args.chunk, bin_chunk=args.bin_chunk,
         supertile_capacity=16384,
     )
     key = jax.random.PRNGKey(0)

@@ -176,14 +176,15 @@ def _composite_fwd_kernel(
     acc = jnp.zeros((p, c_out), jnp.float32)
 
     # Exact-trip software pipelining with saturation early-exit: chunk B's
-    # prep is carry-independent, so its MXU cumsum overlaps chunk A's VPU
-    # combine inside a pair; the odd tail chunk runs as a single conditional
-    # step instead of a rounded-up whole pair. Once EVERY pixel's
-    # transmittance is below TRANSMITTANCE_EPS, later Gaussians contribute
-    # exactly zero (the live gate), so the sweep stops — the same per-tile
-    # termination the reference CUDA kernel applies per saturated pixel
-    # block, and the dominant saver on opaque scenes where pixels saturate
-    # after a few dozen front-to-back Gaussians.
+    # prep is carry-independent, so Mosaic can overlap its MXU cumsum with
+    # chunk A's VPU combine inside a pair's straight-line body; the odd tail
+    # chunk runs as a single conditional step instead of a rounded-up whole
+    # pair. (A rotated loop carrying prep results across iterations would
+    # pipeline better still, but Mosaic cannot legalize while_loops whose
+    # carry is ~MBs of vector registers.) Once EVERY pixel's transmittance
+    # is below TRANSMITTANCE_EPS, later Gaussians contribute exactly zero
+    # (the live gate), so the sweep stops — the reference CUDA kernel's
+    # per-tile termination on saturated tiles.
     def alive(t_run):
         return jnp.max(t_run) >= TRANSMITTANCE_EPS
 
@@ -198,7 +199,7 @@ def _composite_fwd_kernel(
         return pj + 1, combine(combine(carry, *pa), *pb)
 
     _, (t_run, acc) = jax.lax.while_loop(
-        pair_cond, pair_body, (0, (t_run, acc))
+        pair_cond, pair_body, (jnp.int32(0), (t_run, acc))
     )
     t_run, acc = jax.lax.cond(
         (num_chunks % 2 == 1) & alive(t_run),
@@ -234,7 +235,15 @@ def _composite_bwd_kernel(
     )  # (P, 1)
 
     def prep(ci):
-        # Carry-independent per-chunk work (VPU alpha + cumsum + <g, c_k>).
+        # Carry-independent per-chunk work (VPU alpha + BOTH cumsums +
+        # <g, c_k>). The inclusive contribution cumsum is made carry-free by
+        # factoring the running transmittance out of the sum:
+        #   s_k = <g, c_k> alpha_k t_before_k = t_run * s'_k  with
+        #   s'_k = <g, c_k> alpha_k exp(excl_k)
+        # so cumsum(s') runs here on the MXU, fully overlapped with the
+        # paired chunk's VPU combine; the live gate (a per-pixel PREFIX mask,
+        # since t_before is non-increasing along lanes) is applied in
+        # combine as a cheap select against the live total.
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
@@ -246,19 +255,27 @@ def _composite_bwd_kernel(
         g_dot_c = sum(
             g[:, ch : ch + 1] * sl[7 + ch : 8 + ch, :] for ch in range(c_out)
         )
-        return ci, sl, alpha, dx, dy, power, uncapped, log1m, excl, g_dot_c
+        s_prime = g_dot_c * alpha * jnp.exp(excl)
+        # parts=3: a 2-way split here measured d_conic errors up to ~5e-3 —
+        # the error rides d_power and is amplified by dx^2 (up to radius^2)
+        # and 1/(1-alpha) in the conic/mean gradients.
+        cs_prime = _lane_cumsum(s_prime, chunk, exclusive=False)
+        return (ci, sl, alpha, dx, dy, power, uncapped, log1m, excl, g_dot_c,
+                s_prime, cs_prime)
 
     def combine(carry, ci, sl, alpha, dx, dy, power, uncapped, log1m, excl,
-                g_dot_c):
+                g_dot_c, s_prime, cs_prime):
         t_run, prefix = carry  # (P, 1), (P, 1) running <g, prefix>
         t_before = t_run * jnp.exp(excl)
         live = t_before >= TRANSMITTANCE_EPS
         alpha_t = jnp.where(live, alpha * t_before, 0.0)  # (P, CK)
-        s = g_dot_c * alpha_t  # <g, contrib_k>
-        # parts=3: a 2-way split here measured d_conic errors up to ~5e-3 —
-        # the error rides d_power and is amplified by dx^2 (up to radius^2)
-        # and 1/(1-alpha) in the conic/mean gradients.
-        prefix_k = prefix + _lane_cumsum(s, chunk, exclusive=False)
+        # live is a prefix mask per pixel: cumsum(s' * live) equals cs_prime
+        # on live lanes and freezes at the live total on dead lanes.
+        s_live_total = jnp.sum(
+            jnp.where(live, s_prime, 0.0), axis=1, keepdims=True
+        )
+        gated_cs = jnp.where(live, cs_prime, s_live_total)
+        prefix_k = prefix + t_run * gated_cs
         suffix = g_dot_total - prefix_k  # <g, A_k>
 
         one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
@@ -291,19 +308,21 @@ def _composite_bwd_kernel(
         # Channels >= c_out keep the pre-zeroed value (never written).
         dgdat_ref[0, 7 : 7 + c_out, pl.ds(ci * chunk, chunk)] = d_rgb
 
+        prefix = prefix + t_run * s_live_total
         t_run = t_run * jnp.exp(
             jnp.sum(jnp.where(live, log1m, 0.0), axis=1, keepdims=True)
         )
-        prefix = prefix + jnp.sum(s, axis=1, keepdims=True)
         return t_run, prefix
 
     t_run = jnp.ones((p, 1), jnp.float32)
     prefix = jnp.zeros((p, 1), jnp.float32)
 
     # Exact-trip pairing with a conditional odd tail and saturation
-    # early-exit (see forward): once all pixels are below TRANSMITTANCE_EPS,
-    # every remaining Gaussian's contribution — and therefore gradient — is
-    # exactly zero, matching the pre-zeroed dgdat.
+    # early-exit (see forward): past saturation every contribution AND
+    # gradient is exactly zero, matching the pre-zeroed dgdat. Both cumsums
+    # run in the carry-independent prep (the contribution cumsum is made
+    # carry-free by factoring t_run out), so the pair body's MXU work is
+    # free of the carry chain.
     def alive(t_run):
         return jnp.max(t_run) >= TRANSMITTANCE_EPS
 
@@ -317,7 +336,9 @@ def _composite_bwd_kernel(
         pb = prep(2 * pj + 1)
         return pj + 1, combine(combine(carry, *pa), *pb)
 
-    _, carry = jax.lax.while_loop(pair_cond, pair_body, (0, (t_run, prefix)))
+    _, carry = jax.lax.while_loop(
+        pair_cond, pair_body, (jnp.int32(0), (t_run, prefix))
+    )
     jax.lax.cond(
         (num_chunks % 2 == 1) & alive(carry[0]),
         lambda c: combine(c, *prep(num_chunks - 1)),
