@@ -77,7 +77,7 @@ def main():
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3))
 
-    inner = 8
+    inner = 16
 
     @jax.jit
     def chained(means, cov, sh, opac):
@@ -94,12 +94,15 @@ def main():
                 opac + 1e-30 * g_opac,
             )
 
-        return jax.lax.fori_loop(0, inner, body, (means, cov, sh, opac))
+        out = jax.lax.fori_loop(0, inner, body, (means, cov, sh, opac))
+        # Reduce to one scalar ON DEVICE: syncing via `arr.ravel()[0]` would
+        # dispatch two extra ops through the ~25 ms/dispatch tunnel per call.
+        return out[0][0, 0, 0] + out[3][0, 0]
 
-    def sync(tree):
+    def sync(x):
         # block_until_ready is a no-op on the axon tunnel backend; a host
         # transfer is the only reliable sync.
-        return float(jax.tree.leaves(tree)[0].ravel()[0])
+        return float(x)
 
     # Warmup / compile.
     sync(chained(means, cov, sh, opac))
