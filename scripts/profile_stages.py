@@ -73,16 +73,17 @@ def main():
     )
 
     def run_decoder(gaussians):
-        return decode_splatting(
+        color = decode_splatting(
             gaussians, tgt["extrinsics"], tgt["intrinsics"], tgt["near"],
             tgt["far"], shape, cfg=DecoderCfg(rasterize=rc),
         ).color
+        return color, jnp.ravel(color)[0]  # scalar probe: remote-safe sync
 
     dec = jax.jit(run_decoder)
-    jax.block_until_ready(dec(gaussians))
+    float(dec(gaussians)[1])
     for _ in range(args.iters):
         with bench.time("decoder"):
-            jax.block_until_ready(dec(gaussians))
+            float(dec(gaussians)[1])
 
     # XLA cost analysis per compiled stage: bytes accessed ~= HBM traffic
     # (XLA counts operand + output bytes of each fused computation), flops.
@@ -111,33 +112,53 @@ def main():
     def cost_of(jitted_name):
         return costs.get(jitted_name) or {}
 
+    # Each stage's wall time includes one sync round-trip over the axon
+    # tunnel (~25 ms); "real" subtracts it, and the bandwidth/throughput
+    # columns use real time. On a locally-attached chip real == mean - ~0.
+    tunnel_ms = 25.0 if jax.default_backend() != "cpu" else 0.0
     rows = []
     print(
-        f"{'stage':<34}{'mean ms':>10}{'GB moved':>10}{'GB/s':>9}{'GFLOP':>9}{'GFLOP/s':>10}"
+        f"{'stage':<34}{'mean ms':>10}{'real ms':>9}{'GB moved':>10}"
+        f"{'GB/s':>9}{'GFLOP':>9}{'GFLOP/s':>10}"
     )
     for stage, jit_name in stage_to_jit.items():
         if stage not in summary:
             continue
         ms = summary[stage]["mean_ms"]
+        real = max(ms - tunnel_ms, 0.0)
         c = cost_of(jit_name)
         gb = float(c.get("bytes accessed", 0.0)) / 1e9
         gflop = float(c.get("flops", 0.0)) / 1e9
+        # Stages faster than the tunnel's timing resolution (~2 ms jitter)
+        # cannot support a rate estimate.
+        resolvable = real >= 0.5
+        gbps = gb / (real / 1e3) if resolvable else 0.0
+        gfps = gflop / (real / 1e3) if resolvable else 0.0
         rows.append(
             {
                 "stage": stage,
                 "mean_ms": ms,
+                "real_ms": real,
                 "gb_accessed": gb,
-                "gb_per_s": gb / (ms / 1e3) if ms else 0.0,
+                "gb_per_s": gbps,
                 "gflop": gflop,
-                "gflop_per_s": gflop / (ms / 1e3) if ms else 0.0,
+                "gflop_per_s": gfps,
             }
         )
-        print(
-            f"{stage:<34}{ms:>10.2f}{gb:>10.3f}{gb / (ms / 1e3):>9.1f}"
-            f"{gflop:>9.2f}{gflop / (ms / 1e3):>10.1f}"
-            if ms
-            else f"{stage:<34}{ms:>10.2f}"
+        rate = (
+            f"{gbps:>9.1f}{gflop:>9.2f}{gfps:>10.1f}"
+            if resolvable
+            else f"{'--':>9}{gflop:>9.2f}{'--':>10}"
         )
+        print(f"{stage:<34}{ms:>10.2f}{real:>9.2f}{gb:>10.3f}" + rate)
+    print(
+        "NOTE: over the axon dev tunnel, device execution shorter than the "
+        "~25 ms dispatch RPC hides inside it — per-stage 'real' times below "
+        "that are a FLOOR, not a measurement (rates suppressed < 0.5 ms). "
+        "On a locally-attached chip the same script resolves true times; "
+        "scripts/bench_train_stages.py times coarser sub-graphs that clear "
+        "the floor."
+    )
 
     _os.makedirs(_os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -19,24 +19,24 @@ echo "== rasterizer + train-step benchmark (bench.py) =="
 python bench.py | tee "$OUT/bench.json"
 
 echo "== rasterizer kernel-stage attribution =="
-python scripts/bench_binning.py --iters 6 2>/dev/null | tee "$OUT/raster_stages.txt"
+python scripts/bench_binning.py --iters 6 2>>"$OUT/stderr.log" | tee "$OUT/raster_stages.txt"
 
 echo "== train-step stage attribution =="
-python scripts/bench_train_stages.py --iters 4 2>/dev/null | tee "$OUT/train_stages.txt"
+python scripts/bench_train_stages.py --iters 4 2>>"$OUT/stderr.log" | tee "$OUT/train_stages.txt"
 
 echo "== encoder stage taxonomy + HBM/FLOP cost analysis =="
-python scripts/profile_stages.py --iters 5 --out "$OUT/stage_profile.json" 2>/dev/null \
+python scripts/profile_stages.py --iters 5 --out "$OUT/stage_profile.json" 2>>"$OUT/stderr.log" \
   | tee "$OUT/stage_profile.txt"
 
 echo "== 4-phase summary =="
 python scripts/analyze_phase_summary.py "$OUT/stage_profile.json" \
-  --out "$OUT/phase_summary.json" 2>/dev/null | tee "$OUT/phase_summary.txt" || true
+  --out "$OUT/phase_summary.json" 2>>"$OUT/stderr.log" | tee "$OUT/phase_summary.txt" || true
 
 echo "== sampling locality analysis =="
-python scripts/analyze_sampling_locality.py 2>/dev/null | tee "$OUT/sampling_locality.txt" || true
+python scripts/analyze_sampling_locality.py 2>>"$OUT/stderr.log" | tee "$OUT/sampling_locality.txt" || true
 
 echo "== VMEM efficiency model =="
-python scripts/analyze_vmem_efficiency.py 2>/dev/null | tee "$OUT/vmem_efficiency.txt" || true
+python scripts/analyze_vmem_efficiency.py 2>>"$OUT/stderr.log" | tee "$OUT/vmem_efficiency.txt" || true
 
 echo
 echo "artifacts in $OUT"

@@ -79,7 +79,15 @@ class StagedEncoder:
 
     def _jit(self, name, fn):
         if name not in self._jit_cache:
-            jitted = jax.jit(fn)
+            def probed(*args, _fn=fn):
+                out = _fn(*args)
+                # A scalar probe computed ON DEVICE: float(probe) is the only
+                # reliable sync on remote backends where block_until_ready is
+                # a no-op, and transfers 4 bytes instead of a stage output.
+                leaf = jax.tree.leaves(out)[0]
+                return out, jnp.ravel(leaf)[0].astype(jnp.float32)
+
+            jitted = jax.jit(probed)
             holder = {"jitted": jitted, "args": None}
 
             def wrapper(*args, _holder=holder):
@@ -105,8 +113,11 @@ class StagedEncoder:
                 out[name] = {}
         return out
 
-    def _dp_method(self, method, *args):
-        return self.dp.apply(self.dp_vars, *args, method=method)
+    def _dp_method(self, method, dp_vars, *args):
+        # Variables arrive as jit ARGUMENTS: closing over them would bake
+        # ~100 MB of weights into the serialized HLO as constants (the
+        # remote-compile tunnel rejects such modules with HTTP 413).
+        return self.dp.apply(dp_vars, *args, method=method)
 
     def run(self, ctx: dict, benchmarker=None, global_step: int = 0):
         """Run the encoder stage-by-stage; time into `benchmarker` if given.
@@ -125,8 +136,9 @@ class StagedEncoder:
             return benchmarker.time(tag) if benchmarker is not None else nullcontext()
 
         def block(x):
-            jax.block_until_ready(jax.tree.leaves(x)[0])
-            return x
+            out, probe = x
+            float(probe)  # host transfer: the only reliable remote sync
+            return out
 
         with bench("encoder_1_prep_intrinsics"):
 
@@ -143,26 +155,28 @@ class StagedEncoder:
 
         with bench("encoder_2_backbone"):
 
-            def run_backbone(images, img2world):
+            def run_backbone(bvars, images, img2world):
                 return self.backbone.apply(
-                    self.backbone_vars, images, img2world,
+                    bvars, images, img2world,
                     attn_splits=cfg.multiview_trans_attn_split, train=False,
                 )
 
             trans_features, cnn_features = block(
-                self._jit("backbone", run_backbone)(images, img2world)
+                self._jit("backbone", run_backbone)(
+                    self.backbone_vars, images, img2world
+                )
             )
 
         with bench("encoder_3_depth_anything"):
 
-            def run_dav2(images):
+            def run_dav2(dvars, images):
                 da_in = normalize_images(images)[..., jnp.array([2, 0, 1])]
                 da_in = resize_bilinear(
                     da_in.reshape(b * v, h, w, 3),
                     (cfg.dav2_input_size, cfg.dav2_input_size),
                     align_corners=True,
                 )
-                da_depth, dino_feature = self.dav2.apply(self.dav2_vars, da_in)
+                da_depth, dino_feature = self.dav2.apply(dvars, da_in)
                 da_depth = resize_bilinear(
                     da_depth[..., None], (h, w), align_corners=True
                 )
@@ -172,47 +186,51 @@ class StagedEncoder:
                 da_depth = ((flat - lo) / (hi - lo + 1e-8)).reshape(b, v, h, w, 1)
                 return da_depth, dino_feature.reshape(b, v, *dino_feature.shape[1:])
 
-            da_depth, dino_feature = block(self._jit("dav2", run_dav2)(images))
+            da_depth, dino_feature = block(
+                self._jit("dav2", run_dav2)(self.dav2_vars, images)
+            )
 
         with bench("encoder_4a_prep_features"):
             prep = block(
                 self._jit(
                     "dp_prep",
                     partial(self._dp_method, DepthPredictor.prep),
-                )(trans_features, intrinsics, extrinsics, near, far, dino_feature)
+                )(self.dp_vars, trans_features, intrinsics, extrinsics, near,
+                  far, dino_feature)
             )
         with bench("encoder_4b_cost_volume_matching"):
             hf, wf = trans_features.shape[2:4]
             corr = block(
                 self._jit(
                     "dp_matching",
-                    lambda prep: self._dp_method(
-                        DepthPredictor.matching, prep, (hf, wf)
+                    lambda dpv, prep: self._dp_method(
+                        DepthPredictor.matching, dpv, prep, (hf, wf)
                     ),
-                )(prep)
+                )(self.dp_vars, prep)
             )
         with bench("encoder_4c_cost_volume_unet"):
             raw_corr = block(
                 self._jit(
                     "dp_cost_unet",
                     partial(self._dp_method, DepthPredictor.cost_unet),
-                )(corr, trans_features)
+                )(self.dp_vars, corr, trans_features)
             )
         with bench("encoder_4d_coarse_depth"):
             coarse = block(
                 self._jit(
                     "dp_coarse",
-                    lambda rc, dc: self._dp_method(
-                        DepthPredictor.coarse_depth, rc, dc, (h, w)
+                    lambda dpv, rc, dc: self._dp_method(
+                        DepthPredictor.coarse_depth, dpv, rc, dc, (h, w)
                     ),
-                )(raw_corr, prep["disp_candidates"])
+                )(self.dp_vars, raw_corr, prep["disp_candidates"])
             )
         with bench("encoder_4e_depth_refine_unet"):
             refine_out, proj_feat_fullres = block(
                 self._jit(
                     "dp_refine",
                     partial(self._dp_method, DepthPredictor.refine),
-                )(trans_features, cnn_features, images, da_depth, coarse)
+                )(self.dp_vars, trans_features, cnn_features, images, da_depth,
+                  coarse)
             )
         with bench("encoder_4f_gaussian_head"):
             depths, densities, raw_gaussians = block(
@@ -220,7 +238,7 @@ class StagedEncoder:
                     "dp_heads",
                     partial(self._dp_method, DepthPredictor.heads),
                 )(
-                    refine_out, proj_feat_fullres, images,
+                    self.dp_vars, refine_out, proj_feat_fullres, images,
                     coarse["fullres_disps"], near, far,
                 )
             )

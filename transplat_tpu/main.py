@@ -65,8 +65,31 @@ def main():
         cfg.test.output_path = args.output
 
     if args.mode == "train":
+        import datetime
+        from pathlib import Path
+
         from .parallel.mesh import make_mesh
         from .training.trainer import Trainer
+
+        # Per-run output dir + latest-run symlink (reference main.py:60-70):
+        # --output resumes into an existing run dir; the default is a fresh
+        # timestamped dir under outputs/runs. `--checkpoint latest` follows
+        # the symlink.
+        if args.output:
+            run_dir = Path(args.output)
+        else:
+            stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+            run_dir = Path("outputs/runs") / stamp
+        run_dir.mkdir(parents=True, exist_ok=True)
+        cfg.checkpointing.save_dir = str(run_dir / "checkpoints")
+        latest = Path("outputs/latest-run")
+        latest.parent.mkdir(parents=True, exist_ok=True)
+        if latest.is_symlink() or latest.exists():
+            latest.unlink()
+        latest.symlink_to(run_dir.resolve())
+        if cfg.checkpointing.load == "latest":
+            cfg.checkpointing.load = str(Path("outputs/latest-run").resolve() / "checkpoints")
+        print(f"run dir: {run_dir}")
 
         mesh = make_mesh(dp=args.dp, sp=args.sp)
         trainer = Trainer(cfg, mesh=mesh)

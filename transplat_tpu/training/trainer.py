@@ -326,12 +326,18 @@ class Trainer:
                 f"dav2={cfg.checkpointing.dav2_weights}"
             )
         restored = self.ckpt.restore(state)
+        if restored is None and cfg.checkpointing.load:
+            # Warm-start from another run's checkpoint dir (the reference's
+            # checkpointing.load, src/main.py:112) when this run dir is fresh.
+            restored = CheckpointManager(cfg.checkpointing.load).restore(state)
         if restored is not None:
             # Restored arrays land on a single device; re-replicate over the mesh.
             from ..parallel.mesh import replicated
 
             state = jax.device_put(restored, replicated(self.mesh))
             self.global_step = int(state.step)
+            if self._shared_step is not None:
+                self._shared_step.value = self.global_step
             self.log(f"resumed from step {self.global_step}")
 
         # Sanity validation + interval schedule (the reference's Lightning
