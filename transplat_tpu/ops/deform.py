@@ -60,18 +60,31 @@ def deform_sample_vectors(
     loc01: jnp.ndarray,
     attn_weights: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Weighted bilinear gather of value vectors.
+    """Weighted bilinear sampling of value vectors, as ONE MXU matmul.
 
     value:        (H*W, C)
     loc01:        (Q, P, 2) sample locations in [0, 1]
     attn_weights: (Q, P) softmaxed weights
     Returns (Q, C).
+
+    The sample is out = A @ value with A (Q, HW) holding the 4P combined
+    bilinear-corner x attention weights per query. A is assembled by 4P
+    unrolled one-hot compares (VPU elementwise, fused by XLA) instead of a
+    gather: a (Q=4096, P=4) row gather runs at TPU scalar-gather rates in
+    the forward and its VJP is a scatter-add — both orders of magnitude
+    slower than the (Q, HW) x (HW, C) matmul, whose VJP is two matmuls.
     """
     h, w = spatial_shape
+    hw = h * w
+    q, p = attn_weights.shape
     idx, wgt = _bilinear_weights(loc01, h, w)  # (4, Q, P), (4, Q, P)
-    sampled = value[idx]  # (4, Q, P, C)
-    weighted = sampled * (wgt * attn_weights[None])[..., None]
-    return weighted.sum(axis=(0, 2))
+    cw = (wgt * attn_weights[None]).transpose(0, 2, 1).reshape(4 * p, q)
+    idx_k = idx.transpose(0, 2, 1).reshape(4 * p, q)
+    cols = jnp.arange(hw, dtype=jnp.int32)[None, :]
+    a = jnp.zeros((q, hw), value.dtype)
+    for k in range(4 * p):  # static unroll: differentiable, XLA-fused
+        a = a + jnp.where(idx_k[k][:, None] == cols, cw[k][:, None], 0.0)
+    return jnp.matmul(a, value, precision="highest")
 
 
 def deform_sample_scores_gather(
