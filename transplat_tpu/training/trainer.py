@@ -239,6 +239,14 @@ class Trainer:
 
         self._shared_step = None
         if data_iter is None:
+            probe = self.make_dataset("train")
+            if not probe.chunks:
+                raise FileNotFoundError(
+                    f"no training chunks found under {cfg.dataset.roots} "
+                    "(expected <root>/train/*.torch in the RE10K chunk "
+                    "format) — without this guard the loader would block "
+                    "forever waiting for data"
+                )
             nw = getattr(cfg.trainer, "num_workers", 0)
             if nw > 0:
                 # Multi-process loading (reference: 10 train workers,
