@@ -50,6 +50,28 @@ def main():
         action="store_true",
         help="generate-index: dense targets for video rendering",
     )
+    parser.add_argument(
+        "--save-image", action="store_true", help="test: save rendered targets"
+    )
+    parser.add_argument(
+        "--save-video",
+        action="store_true",
+        help="test: wobble + interpolation trajectory videos per scene",
+    )
+    parser.add_argument(
+        "--save-ply", action="store_true", help="test: per-scene 3DGS .ply"
+    )
+    parser.add_argument(
+        "--analyze",
+        action="store_true",
+        help="test: per-scene workload analysis (contribution/redundancy/"
+        "pdf/feature-depth) dumped as analysis_*.json",
+    )
+    parser.add_argument(
+        "--stage-timing",
+        action="store_true",
+        help="test: encoder_1..4f stage-resolved timing",
+    )
     args = parser.parse_args()
 
     from .config import load_config
@@ -63,6 +85,9 @@ def main():
         cfg.checkpointing.load = args.checkpoint
     if args.output:
         cfg.test.output_path = args.output
+    for flag in ("save_image", "save_video", "save_ply", "analyze", "stage_timing"):
+        if getattr(args, flag):
+            setattr(cfg.test, flag, True)
 
     if args.mode == "train":
         import datetime
@@ -84,11 +109,15 @@ def main():
         cfg.checkpointing.save_dir = str(run_dir / "checkpoints")
         latest = Path("outputs/latest-run")
         latest.parent.mkdir(parents=True, exist_ok=True)
+        # Resolve `--checkpoint latest` BEFORE re-pointing the symlink: it
+        # must follow the PREVIOUS run, not the fresh (empty) one.
+        if cfg.checkpointing.load == "latest":
+            cfg.checkpointing.load = (
+                str(latest.resolve() / "checkpoints") if latest.exists() else None
+            )
         if latest.is_symlink() or latest.exists():
             latest.unlink()
         latest.symlink_to(run_dir.resolve())
-        if cfg.checkpointing.load == "latest":
-            cfg.checkpointing.load = str(Path("outputs/latest-run").resolve() / "checkpoints")
         print(f"run dir: {run_dir}")
 
         mesh = make_mesh(dp=args.dp, sp=args.sp)
