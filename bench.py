@@ -67,9 +67,10 @@ def main():
     far = jnp.full((b,), 100.0)
     bg = jnp.zeros((b, 3))
 
-    cfg = RasterizeConfig(
-        capacity=1024, chunk=256, bin_chunk=256, supertile_capacity=16384
-    )
+    # chunk=256: composite sweep granularity (measured faster than 128).
+    # bin_chunk=128: routing matmul cycles scale with ceil(CG/128) per lane;
+    # at the tree's fan-out of 4, CG=128 halves them vs CG=256.
+    cfg = RasterizeConfig(capacity=1024, chunk=256, bin_chunk=128)
 
     def loss_fn(means, cov, sh, opac):
         out = render(extr, intr, near, far, (h, w), bg, means, cov, sh, opac, cfg=cfg)
