@@ -30,7 +30,7 @@ class RasterizeConfig:
     tile_size: int = 16
     max_tiles_per_gaussian: int = 32  # only used by the sort-based binning
     capacity: int = 1024
-    chunk: int = 128
+    chunk: int = 256  # composite sweep granularity (256 measured > 128)
     remat: bool = True
     mode: str = "auto"  # "auto" | "pallas" | "tiled" | "reference"
     binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
