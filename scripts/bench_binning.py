@@ -58,27 +58,38 @@ def main():
     ap.add_argument("--bin-chunk", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--window", type=int, default=4096)
+    ap.add_argument(
+        "--clustered",
+        action="store_true",
+        help="plane-clustered scene (skewed tile occupancy) instead of the "
+        "uniform random cloud — kernel decisions tuned on the uniform scene "
+        "alone miss real scenes' occupancy skew (capacity_sweep.py scene)",
+    )
     args = ap.parse_args()
 
     b, g = args.views, args.gaussians
     h = w = 256
     cfg = RasterizeConfig(
         capacity=1024, chunk=args.chunk, bin_chunk=args.bin_chunk,
-        supertile_capacity=16384,
     )
     key = jax.random.PRNGKey(0)
-    k = jax.random.split(key, 6)
-    means = jnp.concatenate(
-        [
-            jax.random.uniform(k[0], (b, g, 2), minval=-3.0, maxval=3.0),
-            jax.random.uniform(k[1], (b, g, 1), minval=1.0, maxval=12.0),
-        ],
-        axis=-1,
-    )
-    scales = jax.random.uniform(k[2], (b, g, 3), minval=0.005, maxval=0.03)
-    cov = jnp.einsum("bgi,ij->bgij", scales**2, jnp.eye(3))
-    sh = jax.random.normal(k[3], (b, g, 3, 25)) * 0.3
-    opac = jax.random.uniform(k[4], (b, g), minval=0.3, maxval=0.95)
+    if args.clustered:
+        from capacity_sweep import clustered_scene
+
+        means, cov, sh, opac = clustered_scene(key, b, g)
+    else:
+        k = jax.random.split(key, 6)
+        means = jnp.concatenate(
+            [
+                jax.random.uniform(k[0], (b, g, 2), minval=-3.0, maxval=3.0),
+                jax.random.uniform(k[1], (b, g, 1), minval=1.0, maxval=12.0),
+            ],
+            axis=-1,
+        )
+        scales = jax.random.uniform(k[2], (b, g, 3), minval=0.005, maxval=0.03)
+        cov = jnp.einsum("bgi,ij->bgij", scales**2, jnp.eye(3))
+        sh = jax.random.normal(k[3], (b, g, 3, 25)) * 0.3
+        opac = jax.random.uniform(k[4], (b, g), minval=0.3, maxval=0.95)
     extr = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
     intr = jnp.broadcast_to(
         jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]), (b, 3, 3)

@@ -165,6 +165,15 @@ def main():
         json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f, indent=2)
     print(f"wrote {args.out}")
 
+    # Device peak-memory observability (the reference dumps peak_memory.json /
+    # memory_stats.json per stage, src/misc/benchmarker.py:66-116 and
+    # model_wrapper.py:427-515): runtime allocator peaks per stage + XLA's
+    # static per-executable breakdown.
+    mem_out = _os.path.join(_os.path.dirname(args.out) or ".", "peak_memory.json")
+    bench.dump_memory(mem_out, extra={"compiled": staged.memory_analysis()})
+    stages_with_mem = sum(1 for v in bench.memory_stats.values() if v)
+    print(f"wrote {mem_out} ({stages_with_mem} stages with runtime stats)")
+
 
 if __name__ == "__main__":
     main()

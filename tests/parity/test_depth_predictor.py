@@ -3,6 +3,9 @@ batch-first Flax DepthPredictor, full flagship shapes (64x64 features, 256x256
 images, D=128), converted random-init weights.
 
 Reference: src/model/encoder/matching/depth_predictor_trans.py:292-493.
+Parametrized over V in {2, 3, 4}: the reference's hand-rolled multi-view
+correlation composition (:347-414) must be reproduced exactly by the
+batch-first directed-pair mean (model/depth_predictor.py matching()).
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ from .refstub import import_ref
 
 pytestmark = pytest.mark.slow
 
-B, V, C, HF, WF = 1, 2, 128, 64, 64
+B, C, HF, WF = 1, 128, 64, 64
 H = W = 256
 DINO_CH = 64
 
@@ -41,7 +44,8 @@ def _posed_cameras(b, v, seed=0):
     return intrinsics, extrinsics, near, far
 
 
-def test_depth_predictor_parity():
+@pytest.mark.parametrize("V", [2, 3, 4])
+def test_depth_predictor_parity(V):
     import torch
 
     from transplat_tpu.model.depth_predictor import DepthPredictor

@@ -174,3 +174,32 @@ class TestMetricComputerCLI:
         assert summary["good"]["psnr"] > 45.0
         assert summary["noisy"]["psnr"] < summary["good"]["psnr"]
         assert summary["good"]["ssim"] > summary["noisy"]["ssim"]
+
+    def test_side_by_side_animation(self, tmp_path):
+        """--side-by-side --animate writes per-scene preview panels AND mp4s
+        (reference animate_side_by_side, metric_computer.py:83-92)."""
+        from transplat_tpu.evaluation.metric_computer import (
+            MetricComputer,
+            MetricComputerCfg,
+        )
+        from transplat_tpu.utils.image_io import save_image
+
+        rng = np.random.default_rng(1)
+        gt_root = tmp_path / "gt"
+        m_root = tmp_path / "m"
+        for i in range(3):
+            img = rng.uniform(0, 1, size=(16, 16, 3)).astype(np.float32)
+            save_image(img, gt_root / "s" / "color" / f"{i}.png")
+            save_image(img, m_root / "s" / "color" / f"{i}.png")
+        cfg = MetricComputerCfg(
+            methods={"m": str(m_root)},
+            ground_truth=str(gt_root),
+            output_path=str(tmp_path / "out"),
+            side_by_side=True,
+            animate_side_by_side=True,
+        )
+        mc = MetricComputer(cfg)
+        mc.process_scene("s")
+        assert (tmp_path / "out" / "side_by_side" / "s.png").exists()
+        video = tmp_path / "out" / "videos" / "s.mp4"
+        assert video.exists() and video.stat().st_size > 0

@@ -86,7 +86,6 @@ def test_sharded_pallas_interpret_grads():
             chunk=128,
             bin_chunk=128,
             stream_window=1024,
-            supertile_capacity=512,
         )
     )
 

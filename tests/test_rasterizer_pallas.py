@@ -80,12 +80,12 @@ class TestPallasComposite:
         )
 
     def test_hierarchical_binning_matches_reference(self):
-        """128x128 image -> 8x8 tiles triggers the two-level supertile path."""
+        """128x128 image -> 8x8 tiles triggers the multi-level tree path."""
         extr, intr, near, far, bg = make_camera()
         scene = random_scene(jax.random.PRNGKey(9), g=400)
         cfg = RasterizeConfig(
             mode="pallas", capacity=256, chunk=128, interpret=True,
-            supertile_capacity=256, bin_chunk=128,
+            bin_chunk=128,
         )
         ref = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=REF_CFG)
         pal = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=cfg)
@@ -98,7 +98,7 @@ class TestPallasComposite:
         means, cov, sh, opac = random_scene(jax.random.PRNGKey(10), g=120)
         cfg = RasterizeConfig(
             mode="pallas", capacity=256, chunk=128, interpret=True,
-            supertile_capacity=256, bin_chunk=128,
+            bin_chunk=128,
         )
 
         def loss(c):
@@ -116,17 +116,16 @@ class TestPallasComposite:
                 np.asarray(b_), np.asarray(a), rtol=2e-3, atol=2e-4, err_msg=name
             )
 
-    def test_hierarchical_window_not_dividing_supertile_capacity(self):
+    def test_hierarchical_window_not_dividing_capacity(self):
         """Regression: a stream window rounded from g_total need not divide
-        supertile_capacity; phase 2 must fall back to a divisor window (the
-        window_trips reshape used to raise at trace time)."""
+        the level capacities; deeper levels must fall back to a divisor
+        window (the window_trips reshape used to raise at trace time)."""
         extr, intr, near, far, bg = make_camera()
         scene = random_scene(jax.random.PRNGKey(11), g=384)  # window -> 384
         cfg = RasterizeConfig(
             mode="pallas", capacity=256, chunk=128, interpret=True,
-            supertile_capacity=512, bin_chunk=128,
+            bin_chunk=128,
         )
-        assert cfg.supertile_capacity % 384 != 0
         ref = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=REF_CFG)
         pal = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=cfg)
         np.testing.assert_allclose(
@@ -269,3 +268,34 @@ class TestPackBases:
         np.testing.assert_array_equal(
             np.asarray(flat), [0, 40000, 50945]
         )
+
+
+class TestBf16Tier:
+    def test_bf16_inference_tier_close_and_grad_raises(self):
+        """precision='bf16': single-pass routing + cumsum, image within
+        ~bf16 tolerance of the exact path; jax.grad through it raises
+        (inference-only tier)."""
+        extr, intr, near, far, bg = make_camera()
+        scene = random_scene(jax.random.PRNGKey(5), g=400)
+        exact = RasterizeConfig(
+            mode="pallas", capacity=256, chunk=128, interpret=True, bin_chunk=128
+        )
+        fast = RasterizeConfig(
+            mode="pallas", capacity=256, chunk=128, interpret=True,
+            bin_chunk=128, precision="bf16",
+        )
+        a = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=exact)
+        b_ = render(extr, intr, near, far, (128, 128), bg, *scene, cfg=fast)
+        err = np.abs(np.asarray(a.color) - np.asarray(b_.color))
+        assert err.max() < 3e-2, err.max()
+        assert err.mean() < 3e-3, err.mean()
+
+        def loss(m):
+            out = render(
+                extr, intr, near, far, (128, 128), bg, m, scene[1], scene[2],
+                scene[3], cfg=fast,
+            )
+            return jnp.sum(out.color)
+
+        with pytest.raises(NotImplementedError):
+            jax.grad(loss)(scene[0])

@@ -117,3 +117,43 @@ class TestShardedTraining:
         new_state, metrics = step_fn(state, db, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+class TestGoldenOverfit:
+    def test_golden_overfit_cpu(self):
+        """Reduced CI tier of the golden-scene gate (scripts/overfit_golden.py):
+        the tiny model must fit the parallax-consistent 4-plane scene
+        measurably in 100 steps — a structural check that encoder ->
+        Gaussians -> rasterizer -> loss -> Adam can drive real multi-view
+        supervision downhill (the full gate runs on-chip at 256^2/500 steps
+        and requires > 25 dB)."""
+        from transplat_tpu.dataset.loader import golden_scene_batch
+
+        enc_cfg = tiny_encoder_cfg()
+        batch = golden_scene_batch(image_shape=(32, 32), num_target=2)
+        db = to_device_batch(
+            {
+                k: {kk: vv for kk, vv in batch[k].items() if kk != "index"}
+                for k in ("context", "target")
+            }
+        )
+        schedule = make_lr_schedule(2e-3, 200, cosine=False, warm_up_steps=1)
+        optimizer = make_optimizer(schedule, grad_clip=0.5)
+        state = create_train_state(jax.random.PRNGKey(0), enc_cfg, optimizer, batch)
+        step_fn = make_train_step(
+            enc_cfg, LossCfg(lpips_weight=0.0), tiny_decoder_cfg(), optimizer,
+            (32, 32), donate=False,
+        )
+        rng = jax.random.PRNGKey(1)
+        first_psnr = None
+        psnr = 0.0
+        for i in range(100):
+            state, metrics = step_fn(state, db, rng)
+            if first_psnr is None:
+                first_psnr = float(metrics["psnr"])
+            psnr = float(metrics["psnr"])
+        assert np.isfinite(psnr)
+        # Calibrated on this scene: starts ~12.9 dB, reaches ~15+ dB by 100
+        # steps (tiny d_feature=16 model; the full model goes much higher).
+        assert psnr > 13.8, f"final psnr {psnr} (start {first_psnr})"
+        assert psnr - first_psnr > 1.0, f"no improvement: {first_psnr} -> {psnr}"

@@ -106,6 +106,9 @@ def re10k_config() -> RootCfg:
             depth_unet_channel_mult=(1, 1, 1, 1, 1),
             gaussian_adapter=GaussianAdapterCfg(0.5, 15.0, 4),
             opacity_mapping=OpacityMappingCfg(0.0, 0.0, 1),
+            # Mixed-precision conv/U-Net stages (reference trains under TF32,
+            # src/main.py:15); parity tests use EncoderCfg() defaults (f32).
+            compute_dtype="bfloat16",
         ),
         loss=LossCfg(mse_weight=1.0, lpips_weight=0.05, lpips_apply_after_step=0),
     )

@@ -17,6 +17,21 @@ def rescale_image(image: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
     return np.asarray(out, dtype=np.float32) / 255.0
 
 
+def rescale_batch(images: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """LANCZOS resize of (v, h, w, 3) float images in [0, 1].
+
+    Uses the native threaded PIL-faithful LANCZOS
+    (native.resize_lanczos_batch — PIL resize measured at 54% of per-example
+    load cost); falls back to per-image PIL with identical semantics."""
+    from .. import native
+
+    u8 = (images * 255.0).clip(0, 255).astype(np.uint8)
+    out = native.resize_lanczos_batch(u8, shape)
+    if out is not None:
+        return out.astype(np.float32) / 255.0
+    return np.stack([rescale_image(im, shape) for im in images])
+
+
 def center_crop(images: np.ndarray, intrinsics: np.ndarray, shape: tuple[int, int]):
     """images (v, h, w, 3); intrinsics (v, 3, 3) normalized."""
     h_in, w_in = images.shape[1:3]
@@ -37,7 +52,7 @@ def rescale_and_crop(images: np.ndarray, intrinsics: np.ndarray, shape: tuple[in
     scale = max(h_out / h_in, w_out / w_in)
     h_scaled = round(h_in * scale)
     w_scaled = round(w_in * scale)
-    images = np.stack([rescale_image(im, (h_scaled, w_scaled)) for im in images])
+    images = rescale_batch(images, (h_scaled, w_scaled))
     return center_crop(images, intrinsics, shape)
 
 

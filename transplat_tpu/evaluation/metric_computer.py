@@ -14,7 +14,7 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.image_io import load_image, save_image
+from ..utils.image_io import load_image, save_image, save_video
 from ..visualization.layout import add_label, hcat
 from .metrics import compute_psnr, compute_ssim
 
@@ -25,6 +25,9 @@ class MetricComputerCfg:
     ground_truth: str = ""
     output_path: str = "outputs/metrics"
     side_by_side: bool = False
+    # Per-scene side-by-side animation (reference animate_side_by_side,
+    # metric_computer.py:83-92 — ffmpeg there, cv2 mp4 writer here).
+    animate_side_by_side: bool = False
 
 
 class MetricComputer:
@@ -60,10 +63,26 @@ class MetricComputer:
                     float(np.mean(np.asarray(self.lpips_fn(jnp.asarray(pred), jnp.asarray(gt)))))
                 )
             if self.cfg.side_by_side:
-                panels.append(add_label(pred[0], method))
+                panels.append((method, pred))
         if self.cfg.side_by_side and panels:
+            # Per-frame rows (ground truth | method renders), frame 0 saved as
+            # the scene preview; all frames optionally stitched into an mp4
+            # (the reference's ffmpeg glob animation, metric_computer.py:83-92).
+            rows = [
+                hcat(
+                    add_label(gt[i], "ground truth"),
+                    *[add_label(pred[i], m) for m, pred in panels],
+                )
+                for i in range(len(gt))
+            ]
             out = Path(self.cfg.output_path) / "side_by_side" / f"{scene}.png"
-            save_image(hcat(add_label(gt[0], "ground truth"), *panels), out)
+            save_image(rows[0], out)
+            if self.cfg.animate_side_by_side and len(rows) > 1:
+                save_video(
+                    rows,
+                    Path(self.cfg.output_path) / "videos" / f"{scene}.mp4",
+                    fps=min(30, max(2, len(rows))),
+                )
 
     def summarize(self) -> dict:
         out = {}

@@ -74,6 +74,7 @@ class StagedEncoder:
             depth_unet_feat_dim=cfg.depth_unet_feat_dim,
             depth_unet_attn_res=cfg.depth_unet_attn_res,
             depth_unet_channel_mult=cfg.depth_unet_channel_mult,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
         )
         self._jit_cache: dict = {}
 
@@ -113,6 +114,23 @@ class StagedEncoder:
                 out[name] = {}
         return out
 
+    def memory_analysis(self) -> dict:
+        """Per-stage XLA static memory breakdown (argument/output/temp bytes
+        per compiled stage executable) — the compile-time side of the
+        reference's memory_stats.json (model_wrapper.py:427-515)."""
+        from ..utils.benchmarker import compiled_memory_analysis
+
+        out = {}
+        for name, holder in self._jit_cache.items():
+            if holder["args"] is None:
+                continue
+            try:
+                compiled = holder["jitted"].lower(*holder["args"]).compile()
+                out[name] = compiled_memory_analysis(compiled)
+            except Exception:  # pragma: no cover - backend-dependent
+                out[name] = {}
+        return out
+
     def _dp_method(self, method, dp_vars, *args):
         # Variables arrive as jit ARGUMENTS: closing over them would bake
         # ~100 MB of weights into the serialized HLO as constants (the
@@ -133,7 +151,14 @@ class StagedEncoder:
         b, v, h, w, _ = images.shape
 
         def bench(tag):
-            return benchmarker.time(tag) if benchmarker is not None else nullcontext()
+            if benchmarker is None:
+                return nullcontext()
+            from contextlib import ExitStack
+
+            stack = ExitStack()
+            stack.enter_context(benchmarker.memory(tag))
+            stack.enter_context(benchmarker.time(tag))
+            return stack
 
         def block(x):
             out, probe = x

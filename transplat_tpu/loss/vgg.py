@@ -25,6 +25,11 @@ _SCALE = (0.458, 0.448, 0.450)
 
 
 class VGG16Features(nn.Module):
+    # Computation dtype for the conv stack (params stay f32). bfloat16 halves
+    # the VGG activation traffic when LPIPS rides the training loss; the
+    # unit-normalization and heads in LPIPS stay f32 either way.
+    dtype: jnp.dtype | None = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (N, H, W, 3) in [-1, 1] (lpips convention). Returns 5 taps."""
@@ -35,7 +40,9 @@ class VGG16Features(nn.Module):
         idx = 0
         for stage, (ch, n_convs) in enumerate(_STAGES):
             for i in range(n_convs):
-                h = nn.Conv(ch, (3, 3), padding=1, name=f"conv{idx}")(h)
+                h = nn.Conv(
+                    ch, (3, 3), padding=1, name=f"conv{idx}", dtype=self.dtype
+                )(h)
                 h = nn.relu(h)
                 idx += 1
             taps.append(h)
@@ -47,14 +54,18 @@ class VGG16Features(nn.Module):
 class LPIPS(nn.Module):
     """Learned perceptual distance; __call__(a, b) -> (N,) distances."""
 
+    dtype: jnp.dtype | None = None  # VGG conv dtype; score math stays f32
+
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """a, b: (N, H, W, 3) in [0, 1]."""
-        vgg = VGG16Features(name="vgg")
+        vgg = VGG16Features(dtype=self.dtype, name="vgg")
         fa = vgg(2.0 * a - 1.0)
         fb = vgg(2.0 * b - 1.0)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
+            xa = xa.astype(jnp.float32)
+            xb = xb.astype(jnp.float32)
             na = xa / (jnp.linalg.norm(xa, axis=-1, keepdims=True) + 1e-10)
             nb = xb / (jnp.linalg.norm(xb, axis=-1, keepdims=True) + 1e-10)
             diff = (na - nb) ** 2

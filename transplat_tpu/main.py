@@ -46,6 +46,12 @@ def main():
         help="compute-metrics: write comparison panels",
     )
     parser.add_argument(
+        "--animate",
+        action="store_true",
+        help="compute-metrics: stitch per-frame side-by-side rows into an "
+        "mp4 per scene (reference animate_side_by_side)",
+    )
+    parser.add_argument(
         "--video-index",
         action="store_true",
         help="generate-index: dense targets for video rendering",
@@ -212,6 +218,7 @@ def main():
             ground_truth=args.ground_truth,
             output_path=args.output or "outputs/metrics",
             side_by_side=args.side_by_side,
+            animate_side_by_side=args.animate,
         )
         computer = MetricComputer(mc_cfg)
         scenes = sorted(

@@ -47,9 +47,19 @@ class DepthPredictor(nn.Module):
     depth_unet_feat_dim: int = 32
     depth_unet_attn_res: Sequence[int] = (16,)
     depth_unet_channel_mult: Sequence[int] = (1, 1, 1, 1, 1)
+    # Computation dtype for the conv/U-Net stages (params stay f32; heads'
+    # disparity arithmetic and every softmax stay f32). None = full f32.
+    dtype: jnp.dtype | None = None
+    # Gradient checkpointing: recompute the U-Nets / UV matching layers in
+    # the backward instead of storing activations (the reference's U-Net
+    # use_checkpoint flag and checkpointed UV layers,
+    # /root/reference/src/model/utils/transformer.py:166-177).
+    remat_unet: bool = False
+    remat_matching: bool = False
 
     def setup(self):
         c, d = self.feature_channels, self.num_depth_candidates
+        unet_cls = nn.remat(UNetModel) if self.remat_unet else UNetModel
         self.cam_param_encoder = CamParamEncoder(128, c, name="cam_param_encoder")
         self.uv_matcher = nn.vmap(
             UVMatcher,
@@ -57,43 +67,63 @@ class DepthPredictor(nn.Module):
             out_axes=0,
             variable_axes={"params": None, "batch_stats": None},
             split_rngs={"params": False, "dropout": True},
-        )(embed_dims=c, num_depth=d, name="uv_matcher")
+        )(embed_dims=c, num_depth=d, remat=self.remat_matching, name="uv_matcher")
 
-        self.corr_conv_in = conv(self.costvolume_unet_feat_dim, 3, name="corr_conv_in")
+        self.corr_conv_in = conv(
+            self.costvolume_unet_feat_dim, 3, name="corr_conv_in", dtype=self.dtype
+        )
         self.corr_norm_in = group_norm(self.costvolume_unet_feat_dim, name="corr_norm_in")
-        self.corr_unet = UNetModel(
+        self.corr_unet = unet_cls(
             model_channels=self.costvolume_unet_feat_dim,
             out_channels=self.costvolume_unet_feat_dim,
             num_res_blocks=1,
             attention_resolutions=tuple(self.costvolume_unet_attn_res),
             channel_mult=tuple(self.costvolume_unet_channel_mult),
             num_frames=self.num_views,
+            dtype=self.dtype,
             name="corr_unet",
         )
-        self.corr_conv_out = conv(d, 3, name="corr_conv_out")
-        self.regressor_residual = conv(d, 1, name="regressor_residual")
+        self.corr_conv_out = conv(d, 3, name="corr_conv_out", dtype=self.dtype)
+        self.regressor_residual = conv(d, 1, name="regressor_residual", dtype=self.dtype)
 
-        self.depth_head_0 = conv(2 * d, 3, name="depth_head_0")
-        self.depth_head_2 = conv(d, 3, name="depth_head_2")
+        self.depth_head_0 = conv(2 * d, 3, name="depth_head_0", dtype=self.dtype)
+        self.depth_head_2 = conv(d, 3, name="depth_head_2", dtype=self.dtype)
 
-        self.upsampler_conv = conv(self.feature_channels, 3, name="upsampler_conv")
-        self.proj_feature = conv(self.depth_unet_feat_dim, 3, name="proj_feature")
-        self.refine_conv_in = conv(self.depth_unet_feat_dim, 3, name="refine_conv_in")
-        self.refine_norm_in = nn.GroupNorm(num_groups=4, name="refine_norm_in")
-        self.refine_unet = UNetModel(
+        self.upsampler_conv = conv(
+            self.feature_channels, 3, name="upsampler_conv", dtype=self.dtype
+        )
+        self.proj_feature = conv(
+            self.depth_unet_feat_dim, 3, name="proj_feature", dtype=self.dtype
+        )
+        self.refine_conv_in = conv(
+            self.depth_unet_feat_dim, 3, name="refine_conv_in", dtype=self.dtype
+        )
+        self.refine_norm_in = nn.GroupNorm(
+            num_groups=4, dtype=jnp.float32, name="refine_norm_in"
+        )
+        self.refine_unet = unet_cls(
             model_channels=self.depth_unet_feat_dim,
             out_channels=self.depth_unet_feat_dim,
             num_res_blocks=1,
             attention_resolutions=tuple(self.depth_unet_attn_res),
             channel_mult=tuple(self.depth_unet_channel_mult),
             num_frames=self.num_views,
+            dtype=self.dtype,
             name="refine_unet",
         )
 
-        self.to_gaussians_0 = conv(self.gaussian_raw_channels * 2, 3, name="to_gaussians_0")
-        self.to_gaussians_2 = conv(self.gaussian_raw_channels, 3, name="to_gaussians_2")
-        self.to_disparity_0 = conv(self.depth_unet_feat_dim * 2, 3, name="to_disparity_0")
-        self.to_disparity_2 = conv(self.gaussians_per_pixel * 2, 3, name="to_disparity_2")
+        self.to_gaussians_0 = conv(
+            self.gaussian_raw_channels * 2, 3, name="to_gaussians_0", dtype=self.dtype
+        )
+        self.to_gaussians_2 = conv(
+            self.gaussian_raw_channels, 3, name="to_gaussians_2", dtype=self.dtype
+        )
+        self.to_disparity_0 = conv(
+            self.depth_unet_feat_dim * 2, 3, name="to_disparity_0", dtype=self.dtype
+        )
+        self.to_disparity_2 = conv(
+            self.gaussians_per_pixel * 2, 3, name="to_disparity_2", dtype=self.dtype
+        )
 
     # ---- stage 4a: geometry prep + positional features -------------------
 
@@ -196,7 +226,8 @@ class DepthPredictor(nn.Module):
         pdf_logits = self.depth_head_0(raw_corr)
         pdf_logits = nn.gelu(pdf_logits, approximate=False)
         pdf_logits = self.depth_head_2(pdf_logits)
-        pdf = nn.softmax(pdf_logits, axis=-1)  # (b*v, hf, wf, D)
+        # Softmax + disparity expectation in f32 regardless of compute dtype.
+        pdf = nn.softmax(pdf_logits.astype(jnp.float32), axis=-1)  # (b*v, hf, wf, D)
 
         disp_c = disp_candidates.reshape(bv, 1, 1, d)
         coarse_disps = jnp.sum(disp_c * pdf, axis=-1, keepdims=True)
@@ -248,15 +279,20 @@ class DepthPredictor(nn.Module):
         big_h, big_w = images.shape[2:4]
         imgs = images.reshape(b * v, big_h, big_w, 3)
 
-        gau_in = jnp.concatenate([refine_out, imgs, proj_feat_fullres], axis=-1)
+        gau_in = jnp.concatenate(
+            [refine_out.astype(imgs.dtype), imgs, proj_feat_fullres.astype(imgs.dtype)],
+            axis=-1,
+        )
         g = self.to_gaussians_0(gau_in)
         g = nn.gelu(g, approximate=False)
-        raw_gaussians = self.to_gaussians_2(g)
+        raw_gaussians = self.to_gaussians_2(g).astype(jnp.float32)
         raw_gaussians = raw_gaussians.reshape(b, v, big_h * big_w, -1)
 
         dd = self.to_disparity_0(refine_out)
         dd = nn.gelu(dd, approximate=False)
-        dd = self.to_disparity_2(dd)
+        # Disparity deltas and densities in f32: depth = 1/disp amplifies
+        # quantization, so the head's output precision is kept full.
+        dd = self.to_disparity_2(dd).astype(jnp.float32)
         gpp = self.gaussians_per_pixel
         delta_disps, raw_densities = dd[..., :gpp], dd[..., gpp:]
 

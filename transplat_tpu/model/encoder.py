@@ -49,6 +49,15 @@ class EncoderCfg:
     dav2_input_size: int = 252
     gaussian_adapter: GaussianAdapterCfg = field(default_factory=GaussianAdapterCfg)
     opacity_mapping: OpacityMappingCfg = field(default_factory=OpacityMappingCfg)
+    # "float32" (default; parity-exact) or "bfloat16": mixed-precision compute
+    # for the depth-predictor conv/U-Net stages (params and every
+    # softmax/normalization/disparity head stay f32). The reference trains
+    # under TF32 (/root/reference/src/main.py:15) — same precedent.
+    compute_dtype: str = "float32"
+    # Gradient checkpointing (recompute in backward; the reference's U-Net
+    # use_checkpoint + checkpointed UV layers, transformer.py:166-177).
+    remat_unet: bool = False
+    remat_matching: bool = False
 
 
 def map_pdf_to_opacity(
@@ -134,6 +143,11 @@ class EncoderTranSplat(nn.Module):
             depth_unet_feat_dim=cfg.depth_unet_feat_dim,
             depth_unet_attn_res=cfg.depth_unet_attn_res,
             depth_unet_channel_mult=cfg.depth_unet_channel_mult,
+            dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+            ),
+            remat_unet=cfg.remat_unet,
+            remat_matching=cfg.remat_matching,
             name="depth_predictor",
         )(
             trans_features,

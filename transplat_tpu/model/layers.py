@@ -29,8 +29,14 @@ def conv(
     use_bias: bool = True,
     kernel_init: Callable = torch_default_init,
     name: str | None = None,
+    dtype: jnp.dtype | None = None,
 ) -> nn.Conv:
-    """3x3-style conv with explicit torch "padding=k//2" semantics."""
+    """3x3-style conv with explicit torch "padding=k//2" semantics.
+
+    dtype: computation dtype (params stay f32; bfloat16 halves activation
+    HBM traffic on bandwidth-bound stages — the reference trains under TF32,
+    /root/reference/src/main.py:15, so reduced-precision compute has
+    precedent)."""
     if padding is None:
         padding = (kernel - 1) // 2
     if isinstance(padding, int):
@@ -43,6 +49,7 @@ def conv(
         use_bias=use_bias,
         kernel_init=kernel_init,
         name=name,
+        dtype=dtype,
     )
 
 

@@ -20,18 +20,19 @@ class ResBlock(nn.Module):
     """Postnorm residual block (ldm_unet/unet.py:172-305)."""
 
     out_channels: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        h = conv(self.out_channels, 3, name="in_conv")(x)
+        h = conv(self.out_channels, 3, name="in_conv", dtype=self.dtype)(x)
         h = group_norm(self.out_channels, name="in_norm")(h)
         h = nn.silu(h)
-        h = conv(self.out_channels, 3, name="out_conv")(h)
+        h = conv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(h)
         h = group_norm(self.out_channels, zero_init=True, name="out_norm")(h)
         h = nn.silu(h)
         if x.shape[-1] != self.out_channels:
-            x = conv(self.out_channels, 1, name="skip")(x)
-        return x + h
+            x = conv(self.out_channels, 1, name="skip", dtype=self.dtype)(x)
+        return (x + h).astype(self.dtype or x.dtype)
 
 
 class AttentionBlock(nn.Module):
@@ -44,6 +45,7 @@ class AttentionBlock(nn.Module):
     num_head_channels: int = 32
     num_frames: int = 2
     cross_view: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +54,9 @@ class AttentionBlock(nn.Module):
         t = h * w
         tokens = x.reshape(n, t, c)
 
-        qkv = nn.Dense(3 * c, kernel_init=torch_default_init, name="qkv")(tokens)
+        qkv = nn.Dense(
+            3 * c, kernel_init=torch_default_init, name="qkv", dtype=self.dtype
+        )(tokens)
 
         if self.cross_view:
             v = self.num_frames
@@ -70,9 +74,11 @@ class AttentionBlock(nn.Module):
         if self.cross_view:
             out = out.reshape(n // self.num_frames, self.num_frames, t, c).reshape(n, t, c)
 
-        out = nn.Dense(c, kernel_init=torch_default_init, name="proj_out")(out)
+        out = nn.Dense(
+            c, kernel_init=torch_default_init, name="proj_out", dtype=self.dtype
+        )(out)
         out = group_norm(c, zero_init=True, name="norm")(out)
-        return x + out.reshape(n, h, w, c)
+        return (x + out.reshape(n, h, w, c)).astype(self.dtype or x.dtype)
 
 
 class UNetModel(nn.Module):
@@ -84,6 +90,7 @@ class UNetModel(nn.Module):
     num_head_channels: int = 32
     num_frames: int = 2
     cross_view: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -98,40 +105,41 @@ class UNetModel(nn.Module):
                     self.num_head_channels,
                     self.num_frames,
                     self.cross_view,
+                    self.dtype,
                     name=f"{prefix}_attn",
                 )(h)
             return h
 
         hs = []
-        h = conv(mc, 3, name="in_conv")(x)
+        h = conv(mc, 3, name="in_conv", dtype=self.dtype)(x)
         hs.append(h)
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = ResBlock(mult * mc, name=f"down_{level}_{i}")(h)
+                h = ResBlock(mult * mc, self.dtype, name=f"down_{level}_{i}")(h)
                 h = maybe_attn(h, ds, f"down_{level}_{i}")
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
-                h = conv(h.shape[-1], 3, stride=2, name=f"downsample_{level}")(h)
+                h = conv(h.shape[-1], 3, stride=2, name=f"downsample_{level}", dtype=self.dtype)(h)
                 hs.append(h)
                 ds *= 2
 
-        h = ResBlock(h.shape[-1], name="middle_0")(h)
-        h = ResBlock(h.shape[-1], name="middle_1")(h)
+        h = ResBlock(h.shape[-1], self.dtype, name="middle_0")(h)
+        h = ResBlock(h.shape[-1], self.dtype, name="middle_1")(h)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(mult * mc, name=f"up_{level}_{i}")(h)
+                h = ResBlock(mult * mc, self.dtype, name=f"up_{level}_{i}")(h)
                 h = maybe_attn(h, ds, f"up_{level}_{i}")
                 if level and i == self.num_res_blocks:
                     n, hh, ww, c = h.shape
                     h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                    h = conv(c, 3, name=f"upsample_{level}")(h)
+                    h = conv(c, 3, name=f"upsample_{level}", dtype=self.dtype)(h)
                     ds //= 2
 
         # Final out (postnorm): conv -> GN -> SiLU.
-        h = conv(self.out_channels, 3, name="out_conv")(h)
+        h = conv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(h)
         h = group_norm(self.out_channels, name="out_norm")(h)
         return nn.silu(h)

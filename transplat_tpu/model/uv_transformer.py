@@ -148,6 +148,10 @@ class UVMatcher(nn.Module):
     embed_dims: int = 128
     num_depth: int = 128
     num_fine_layers: int = 2
+    # Gradient-checkpoint each fine layer (recompute in backward) — the
+    # reference checkpoints its UV transformer layers
+    # (/root/reference/src/model/utils/transformer.py:166-177).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -165,10 +169,14 @@ class UVMatcher(nn.Module):
         hardwired to 128).
         """
         assert self.num_depth == self.embed_dims
+        layer_cls = (
+            nn.remat(UVFineLayer, static_argnums=(7, 8)) if self.remat
+            else UVFineLayer
+        )
         # Coarse: query starts at zero, identity-add of the raw correlation.
         query = coarse_correlation(key_feat, value_feat, grid, hw)
         for i in range(self.num_fine_layers):
-            query = UVFineLayer(self.embed_dims, self.num_depth, name=f"fine_{i}")(
+            query = layer_cls(self.embed_dims, self.num_depth, name=f"fine_{i}")(
                 query, bev_pos, key_feat, value_feat, grid, ref_2d, hw, deterministic
             )
         return query

@@ -61,6 +61,8 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.resize_lanczos_batch.restype = None
+        lib.resize_lanczos_batch.argtypes = lib.resize_bilinear_batch.argtypes
         _lib = lib
     except Exception:
         _lib = None
@@ -117,6 +119,36 @@ def resize_bilinear_batch(
     out = np.empty((n, h2, w2, 3), np.uint8)
     threads = num_threads if num_threads is not None else min(os.cpu_count() or 4, 16)
     lib.resize_bilinear_batch(
+        images.ctypes.data_as(ctypes.c_char_p),
+        n,
+        h,
+        w,
+        out.ctypes.data_as(ctypes.c_char_p),
+        h2,
+        w2,
+        threads,
+    )
+    return out
+
+
+def resize_lanczos_batch(
+    images: np.ndarray, out_shape: tuple[int, int], num_threads: int | None = None
+) -> np.ndarray | None:
+    """(n, h, w, 3) u8 -> (n, h2, w2, 3) u8 PIL-LANCZOS resize, or None.
+
+    Bit-faithful port of Pillow's separable fixed-point convolution
+    (PRECISION_BITS rounding, uint8 intermediate between passes) — the data
+    path can replace per-image PIL calls without changing the reference's
+    resize semantics (crop_shim.py:80-95)."""
+    lib = _load()
+    if lib is None:
+        return None
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, _ = images.shape
+    h2, w2 = out_shape
+    out = np.empty((n, h2, w2, 3), np.uint8)
+    threads = num_threads if num_threads is not None else min(os.cpu_count() or 4, 16)
+    lib.resize_lanczos_batch(
         images.ctypes.data_as(ctypes.c_char_p),
         n,
         h,

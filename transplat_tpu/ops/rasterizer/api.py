@@ -36,9 +36,15 @@ class RasterizeConfig:
     binning: str = "scatter"  # "scatter" | "fast" (searchsorted) | "sort"
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
     stream_window: int = 4096  # Gaussians per binning-kernel grid window
-    supertile_capacity: int = 16384  # retained knob (legacy 2-level binning)
     bin_chunk: int = 128  # Gaussians per binning inner chunk (<=256: exact bf16)
     level_headroom: float = 1.5  # tree-level capacity over average coverage
+    # "f32": the default differentiable path (exact mixed-split routing,
+    # 2-way transmittance cumsum, <= ~3.5e-5 relative). "bf16": inference-
+    # only forward tier — single-pass bf16 routing + cumsum (~2^-8 relative,
+    # visually lossless for eval preview rendering); jax.grad through it
+    # raises. Reference precedent: CUDA rasterizer offers no reduced-
+    # precision tier, so this is TPU-only headroom.
+    precision: str = "f32"
 
     def resolved_mode(self) -> str:
         if self.mode != "auto":
@@ -222,12 +228,12 @@ def render(
             )
             gdat, counts, overflow = bin_tree(
                 feat, ts, ntx, nty, levels, caps, bcg, window, cfg.interpret,
-                f_route,
+                f_route, cfg.precision,
             )
         else:
             gdat, counts = bin_single_level(
                 feat, ts, ntx, nty, cfg.capacity, bcg, window, cfg.interpret,
-                f_route,
+                f_route, cfg.precision,
             )
             overflow = jnp.sum(
                 jnp.maximum(counts - cfg.capacity, 0), axis=1
@@ -245,6 +251,7 @@ def render(
             jnp.minimum(counts, cfg.capacity).reshape(-1),
             ts, ntx, levels, num_tiles, cfg.chunk, cfg.interpret, c_out,
             cfg.capacity,
+            1 if cfg.precision == "bf16" else 2,
         )
         acc = acc.reshape(b, num_tiles, p, 8)[..., :c_out]
         tfin = tfin.reshape(b, num_tiles, p)

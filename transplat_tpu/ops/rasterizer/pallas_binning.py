@@ -234,7 +234,7 @@ def _plan_matrix(cg: int):
 def _bin_fwd_kernel(
     trips_ref, bases_ref, feat_ref, pfeat_ref, gdat_ref, oh_ref, oh2_ref,
     *, layout, ntx, ng, path, fy, fx, cw, ch, parents, group, cg, capacity,
-    cpw, ncp1, f_route, packed,
+    cpw, ncp1, f_route, packed, route_parts,
 ):
     i = pl.program_id(0)
     w = pl.program_id(1)
@@ -302,9 +302,32 @@ def _bin_fwd_kernel(
         # Mixed-precision routing of the f_route live rows: geometry rows
         # (first N_EXACT) get the exact 3-way split, opacity/colors the
         # 2-way split — M = 2*f_route + N_EXACT rows (26 for RGB vs 30
-        # all-exact; MXU streaming cycles scale with M).
-        ne = min(N_EXACT, f_route)
+        # all-exact; MXU streaming cycles scale with M). route_parts="one"
+        # is the bf16 inference tier (below).
         sl = feat_ref[0, 0:f_route, ci * cg : (ci + 1) * cg]
+        if route_parts == "one":
+            # bf16 inference tier: COLOR rows one raw bf16 pass (linear in
+            # the output, ~2^-8 relative = ~4e-3 image error); every other
+            # row keeps the 2-way split — measured: 1-pass means are ~0.5 px
+            # off at global pixel coordinates, 1-pass conics put
+            # 2^-8-relative error on the exponent, and 1-pass OPACITY is
+            # amplified through the 1/(1-alpha) transmittance chain (all
+            # several 1e-2 in the image). M = f_route + 7.
+            ng2 = min(7, f_route)  # mean, conic, radius, opacity
+            hi = sl.astype(jnp.bfloat16)
+            geo_lo = (
+                sl[0:ng2] - hi[0:ng2].astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            routed = jax.lax.dot_general(
+                jnp.concatenate([hi, geo_lo], axis=0), oh[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (f + 7, group * nbw)
+            f = f_route
+            return jnp.concatenate(
+                [routed[0:ng2] + routed[f : f + ng2], routed[ng2:f]], axis=0
+            )
+        ne = min(N_EXACT, f_route)
         hi = sl.astype(jnp.bfloat16)
         r1 = sl - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
@@ -392,7 +415,7 @@ def _bin_bwd_kernel(
     trips_ref, bases_ref, feat_ref, pfeat_ref, dgdat_ref, dfeat_ref, oh_ref,
     dwin_ref, oh2_ref, dwin2_ref,
     *, layout, ntx, ng, path, fy, fx, cw, ch, parents, group, cg, capacity,
-    cpw, ncp1, f_route, packed,
+    cpw, ncp1, f_route, packed, route_parts,
 ):
     i = pl.program_id(0)
     w = pl.program_id(1)
@@ -490,6 +513,7 @@ def _static(kw):
         parents=kw["parents"], group=kw["group"], cg=kw["cg"],
         capacity=kw["capacity"], cpw=kw["cpw"], ncp1=kw["ncp1"],
         f_route=kw["f_route"], packed=kw["packed"],
+        route_parts=kw.get("route_parts", "mixed"),
     )
 
 
@@ -619,6 +643,11 @@ def _vjp_fwd(stream, bases, trips, interpret, static):
 def _vjp_bwd(interpret, static, res, dgdat):
     stream, bases, trips = res
     kw = dict(static)
+    if kw.get("route_parts", "mixed") == "one":
+        raise NotImplementedError(
+            "precision='bf16' binning is an inference-only tier — "
+            "differentiate with the default exact-path precision instead"
+        )
     partials = _bwd_call(stream, bases, trips, dgdat, interpret, **kw)
     n = stream.shape[0]
     ng = kw["ng"]
@@ -651,7 +680,8 @@ def _pick_group(num_tiles: int, width: int, f: int,
 
 
 def bin_single_level(
-    feat, tile_size, ntx, nty, capacity, cg, window, interpret, f_route
+    feat, tile_size, ntx, nty, capacity, cg, window, interpret, f_route,
+    precision="f32",
 ):
     """One-level binning (small/irregular grids): gdat in raster tile order.
 
@@ -679,6 +709,7 @@ def bin_single_level(
         layout="raster", ntx=ntx, ng=ng, path=(), fy=1, fx=1, cw=tile_size,
         ch=tile_size, parents=1, group=group, cg=cg, capacity=capacity,
         cpw=cpw, ncp1=bases.shape[-1], f_route=f_route, packed=packed,
+        route_parts="one" if precision == "bf16" else "mixed",
     )
     gdat = bin_targets(feat, packed_bases, trips, interpret, static)
     return gdat, counts
@@ -748,6 +779,7 @@ def bin_tree(
     window: int,  # level-1 stream window (divides G)
     interpret: bool,
     f_route: int,
+    precision: str = "f32",
 ):
     """Multi-level tree binning: stream -> ... -> per-tile worklists.
 
@@ -792,6 +824,7 @@ def bin_tree(
             layout="tree", ntx=0, ng=1, path=path, fy=fy, fx=fx, cw=cw_px,
             ch=ch_px, parents=parents, group=group, cg=cg, capacity=cap,
             cpw=cpw, ncp1=bases.shape[-1], f_route=f_route, packed=packed,
+            route_parts="one" if precision == "bf16" else "mixed",
         )
         stream = bin_targets(
             stream, packed_bases, trips, interpret, static

@@ -61,48 +61,72 @@ def _pixel_coords(tile_id, tile_size: int, ntx: int, levels, num_tiles: int,
     return px, py
 
 
-def _lane_cumsum(x, chunk: int, exclusive: bool, parts: int = 3):
-    """Prefix sum along the lane axis via triangular-matrix matmuls.
+def _lane_cumsum_multi(xs, chunk: int, parts_list, exclusive: bool = True):
+    """Prefix sums of several row blocks along the lane axis, fused into ONE
+    triangular-matrix matmul stream per 128-lane block.
 
-    Exact to f32 accumulation: x is split 3-way into bf16 parts
-    (mxu.split3_bf16) and the 0/1 triangular matrix is bf16-exact, so the
-    MXU's bf16 passes accumulate the true f32 sum. Runs on the MXU so it
-    overlaps the VPU alpha/color work of the paired chunk (a VPU
-    Hillis-Steele scan measured SLOWER end-to-end: it serialized the whole
-    chunk body on the VPU port).
+    Each x in xs is split into `parts` bf16 rows (1 = raw bf16 truncation,
+    2^-8 relative; 2 = <= 2^-18 relative; 3 = exact f32 — the 0/1 triangle
+    is bf16-exact, so bf16 passes accumulated in f32 reproduce the split's
+    sum exactly). All splits are stacked so every 128-block runs a single
+    (sum_i parts_i * P_i, 128) x (128, 128) matmul — full MXU lane
+    utilization, one launch. Runs on the MXU so it overlaps the VPU
+    alpha/color work of the paired chunk (a VPU Hillis-Steele scan measured
+    SLOWER end-to-end: it serialized the whole chunk body on the VPU port).
+    The running inter-block offset per x is a vector reduce + broadcast add
+    of the ORIGINAL f32 rows (exact regardless of parts).
 
-    Computed block-hierarchically in 128-lane blocks: each block's local
-    prefix is one (3P, 128) x (128, 128) matmul (full MXU lane utilization,
-    half the MACs of a monolithic (chunk, chunk) triangle), and the running
-    inter-block offset is a vector reduce + broadcast add.
+    Output rows of a dot_general are independent, so each x's result is
+    bit-identical whether computed alone or stacked with others — the
+    forward/backward transmittance gates stay consistent as long as both
+    sides use the same `parts` for the same x.
+    """
+    metas = []
+    splits = []
+    for x, parts in zip(xs, parts_list):
+        if parts == 1:
+            s = x.astype(jnp.bfloat16)
+        elif parts == 2:
+            s = split2_bf16(x)
+        else:
+            s = split3_bf16(x)
+        metas.append((x.shape[0], parts))
+        splits.append(s)
+    stacked = splits[0] if len(splits) == 1 else jnp.concatenate(splits, axis=0)
 
-    parts: 3 = exact f32 (forward transmittance); 2 = <= 2^-18 relative
-    (backward-only sums, checked at rtol 2e-3) — one fewer MXU pass."""
-    p = x.shape[0]
     bs = 128 if chunk % 128 == 0 and chunk > 128 else chunk
     nb = chunk // bs
     rows = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
     tri = ((rows < cols) if exclusive else (rows <= cols)).astype(jnp.bfloat16)
-    x3 = split3_bf16(x) if parts == 3 else split2_bf16(x)  # (parts*P, chunk)
-    outs = []
-    offset = jnp.zeros((p, 1), jnp.float32)
+
+    outs = [[] for _ in xs]
+    offsets = [jnp.zeros((p, 1), jnp.float32) for p, _ in metas]
     for j in range(nb):
         yj = jax.lax.dot_general(
-            x3[:, j * bs : (j + 1) * bs],
+            stacked[:, j * bs : (j + 1) * bs],
             tri,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        total = yj[:p] + yj[p : 2 * p]
-        if parts == 3:
-            total = total + yj[2 * p :]
-        outs.append(total + offset)
+        base = 0
+        for i, (p, parts) in enumerate(metas):
+            total = yj[base : base + p]
+            for k in range(1, parts):
+                total = total + yj[base + k * p : base + (k + 1) * p]
+            outs[i].append(total + offsets[i])
+            base += parts * p
         if j + 1 < nb:
-            offset = offset + jnp.sum(
-                x[:, j * bs : (j + 1) * bs], axis=1, keepdims=True
-            )
-    return outs[0] if nb == 1 else jnp.concatenate(outs, axis=1)
+            for i, x in enumerate(xs):
+                offsets[i] = offsets[i] + jnp.sum(
+                    x[:, j * bs : (j + 1) * bs], axis=1, keepdims=True
+                )
+    return [o[0] if nb == 1 else jnp.concatenate(o, axis=1) for o in outs]
+
+
+def _lane_cumsum(x, chunk: int, exclusive: bool, parts: int = 3):
+    """Single-input wrapper over _lane_cumsum_multi."""
+    return _lane_cumsum_multi([x], chunk, [parts], exclusive)[0]
 
 
 def _chunk_alpha(sl, px, py):
@@ -129,7 +153,7 @@ def _chunk_alpha(sl, px, py):
 def _composite_fwd_kernel(
     counts_ref, gdat_ref, acc_ref, tfin_ref,
     *, tile_size: int, ntx: int, levels, num_tiles: int, chunk: int,
-    c_out: int, max_chunks: int,
+    c_out: int, max_chunks: int, parts_t: int,
 ):
     p = tile_size * tile_size
     i = pl.program_id(0)
@@ -143,10 +167,15 @@ def _composite_fwd_kernel(
 
     def prep(ci):
         # Carry-independent per-chunk work (VPU alpha + MXU cumsum).
+        # parts_t = 2 on the exact path: the backward uses the IDENTICAL
+        # 2-way computation, so the live gates flip bit-identically; the
+        # absolute transmittance error is <= |excl| * 2^-18 <= 3.5e-5
+        # relative in the live region (|excl| < -log EPS). parts_t = 1 is
+        # the bf16 inference tier (~2^-8).
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, _, _, _, _ = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
-        excl = _lane_cumsum(log1m, chunk, exclusive=True)
+        excl = _lane_cumsum(log1m, chunk, exclusive=True, parts=parts_t)
         return sl, alpha, log1m, excl
 
     def combine(carry, sl, alpha, log1m, excl):
@@ -214,7 +243,7 @@ def _composite_fwd_kernel(
 def _composite_bwd_kernel(
     counts_ref, gdat_ref, gacc_ref, gtfin_ref, accres_ref, tfinres_ref, dgdat_ref,
     *, tile_size: int, ntx: int, levels, num_tiles: int, chunk: int,
-    c_out: int, max_chunks: int,
+    c_out: int, max_chunks: int, parts_t: int,
 ):
     p = tile_size * tile_size
     i = pl.program_id(0)
@@ -247,18 +276,22 @@ def _composite_bwd_kernel(
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
         alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
-        # MUST stay exact (parts=3): t_before feeds the live >= EPS gate,
-        # which must flip identically to the forward pass — a 2^-18
-        # discrepancy at the boundary toggles a full-size d_alpha term.
-        excl = _lane_cumsum(log1m, chunk, exclusive=True)
         # <g, c_k> per pixel-gaussian: (P, CK), c_out VPU broadcast-FMAs.
         g_dot_c = sum(
             g[:, ch : ch + 1] * sl[7 + ch : 8 + ch, :] for ch in range(c_out)
         )
+        # Both cumsums fused into one matmul stream. The transmittance
+        # cumsum uses the SAME parts_t as the forward: the live gate must
+        # flip identically, and identical computation (not exactness) is
+        # what guarantees that. The contribution cumsum stays 3-way exact:
+        # a 2-way split there measured d_conic errors up to ~5e-3 — the
+        # error rides d_power and is amplified by dx^2 (up to radius^2)
+        # and 1/(1-alpha) in the conic/mean gradients. Stacking both in one
+        # call changes neither result (dot_general rows are independent).
+        # s_prime needs excl first, so the exclusive cumsum of s_prime is
+        # taken and shifted: incl = excl(s') + s' — exact f32 adds.
+        excl = _lane_cumsum(log1m, chunk, exclusive=True, parts=parts_t)
         s_prime = g_dot_c * alpha * jnp.exp(excl)
-        # parts=3: a 2-way split here measured d_conic errors up to ~5e-3 —
-        # the error rides d_power and is amplified by dx^2 (up to radius^2)
-        # and 1/(1-alpha) in the conic/mean gradients.
         cs_prime = _lane_cumsum(s_prime, chunk, exclusive=False)
         return (ci, sl, alpha, dx, dy, power, uncapped, log1m, excl, g_dot_c,
                 s_prime, cs_prime)
@@ -354,13 +387,14 @@ def _max_chunks(k, chunk, capacity):
 
 
 def _fwd_call(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
-              interpret, c_out, capacity):
+              interpret, c_out, capacity, parts_t):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
     kernel = functools.partial(
         _composite_fwd_kernel,
         tile_size=tile_size, ntx=ntx, levels=levels, num_tiles=num_tiles,
         chunk=chunk, c_out=c_out, max_chunks=_max_chunks(k, chunk, capacity),
+        parts_t=parts_t,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -388,7 +422,7 @@ def _fwd_call(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
 
 def _bwd_call(
     gdat, counts, gacc, gtfin, accres, tfinres, tile_size, ntx, levels,
-    num_tiles, chunk, interpret, c_out, capacity,
+    num_tiles, chunk, interpret, c_out, capacity, parts_t,
 ):
     bt, f, k = gdat.shape
     p = tile_size * tile_size
@@ -396,6 +430,7 @@ def _bwd_call(
         _composite_bwd_kernel,
         tile_size=tile_size, ntx=ntx, levels=levels, num_tiles=num_tiles,
         chunk=chunk, c_out=c_out, max_chunks=_max_chunks(k, chunk, capacity),
+        parts_t=parts_t,
     )
 
     def spec(shape):
@@ -420,37 +455,46 @@ def _bwd_call(
     )(counts, gdat, gacc, gtfin, accres, tfinres)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10)
+)
 def composite_pallas(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
-                     interpret, c_out=8, capacity=None):
+                     interpret, c_out=8, capacity=None, parts_t=2):
     """gdat: (B*T, F, K), counts: (B*T,) int32 worklist lengths
     -> (acc (B*T, P, 8), t_final (B*T, 1, P)). levels=None for raster tile
     order, or the bin_tree fan-out tuple for tree/path-major order. c_out:
     number of live color channels (static); acc channels >= c_out are zero.
     capacity bounds the compositing sweep to the clean prefix of the
-    worklist; None means all K columns are in play."""
+    worklist; None means all K columns are in play. parts_t: bf16 split
+    depth of the transmittance cumsum — 2 (default, <= 3.5e-5 relative,
+    differentiable) or 1 (bf16 inference tier, forward-only)."""
     return _fwd_call(
         gdat, counts, tile_size, ntx, levels, num_tiles, chunk, interpret,
-        c_out, capacity,
+        c_out, capacity, parts_t,
     )
 
 
 def _vjp_fwd(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
-             interpret, c_out, capacity):
+             interpret, c_out, capacity, parts_t):
     acc, tfin = _fwd_call(
         gdat, counts, tile_size, ntx, levels, num_tiles, chunk, interpret,
-        c_out, capacity,
+        c_out, capacity, parts_t,
     )
     return (acc, tfin), (gdat, counts, acc, tfin)
 
 
 def _vjp_bwd(tile_size, ntx, levels, num_tiles, chunk, interpret, c_out,
-             capacity, residuals, cotangents):
+             capacity, parts_t, residuals, cotangents):
+    if parts_t < 2:
+        raise NotImplementedError(
+            "precision='bf16' rendering is an inference-only tier — "
+            "differentiate with the default exact-path precision instead"
+        )
     gdat, counts, acc, tfin = residuals
     gacc, gtfin = cotangents
     dgdat = _bwd_call(
         gdat, counts, gacc, gtfin, acc, tfin, tile_size, ntx, levels,
-        num_tiles, chunk, interpret, c_out, capacity,
+        num_tiles, chunk, interpret, c_out, capacity, parts_t,
     )
     return (dgdat, None)
 

@@ -124,7 +124,12 @@ def make_train_step(
     lr_schedule=None,
 ):
     model = EncoderTranSplat(encoder_cfg)
-    lpips = LPIPS()
+    # LPIPS rides the training loss at the encoder's compute precision (its
+    # score math stays f32 inside the module); the evaluator's metric LPIPS
+    # is a separate full-f32 instance.
+    lpips = LPIPS(
+        dtype=jnp.bfloat16 if encoder_cfg.compute_dtype == "bfloat16" else None
+    )
 
     def constrain(x, *axes):
         """Pin a sharding on intermediate values when a mesh is given (sp

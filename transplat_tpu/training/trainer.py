@@ -213,7 +213,11 @@ class Trainer:
             f.write(json.dumps(record) + "\n")
 
     def make_dataset(self, stage: str = "train"):
-        sampler = ViewSamplerBounded(self.cfg.view_sampler, stage=stage)
+        sampler = ViewSamplerBounded(
+            self.cfg.view_sampler,
+            stage=stage,
+            cameras_are_circular=self.cfg.dataset.cameras_are_circular,
+        )
         return ChunkDataset(
             self.cfg.dataset,
             stage,
@@ -261,7 +265,11 @@ class Trainer:
                 shared = self._shared_step
 
                 def make_worker_iter(worker_id, _nw=nw):
-                    sampler = ViewSamplerBounded(cfg.view_sampler, stage="train")
+                    sampler = ViewSamplerBounded(
+                        cfg.view_sampler,
+                        stage="train",
+                        cameras_are_circular=cfg.dataset.cameras_are_circular,
+                    )
                     ds = ChunkDataset(
                         cfg.dataset,
                         "train",

@@ -37,9 +37,45 @@ STAGE_ORDER = [
 ]
 
 
+def device_memory_stats(device=None) -> dict:
+    """Raw allocator stats for one device (bytes_in_use, peak_bytes_in_use,
+    ...); {} on backends without memory_stats (e.g. CPU). TPU analog of
+    torch.cuda.memory_stats consumed by the reference's memory dumps
+    (/root/reference/src/model/model_wrapper.py:427-515)."""
+    device = device or jax.local_devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        stats = None
+    return dict(stats) if stats else {}
+
+
+def compiled_memory_analysis(compiled) -> dict:
+    """XLA's static memory breakdown for a compiled executable (argument /
+    output / temp / generated-code bytes) — the compile-time complement to
+    the runtime peaks above."""
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:
+        return {}
+    out = {}
+    for key in (
+        "argument_size_in_bytes",
+        "output_size_in_bytes",
+        "temp_size_in_bytes",
+        "alias_size_in_bytes",
+        "generated_code_size_in_bytes",
+    ):
+        val = getattr(ma, key, None)
+        if val is not None:
+            out[key] = int(val)
+    return out
+
+
 class Benchmarker:
     def __init__(self):
         self.execution_times: dict[str, list[float]] = defaultdict(list)
+        self.memory_stats: dict[str, dict] = {}
 
     @contextmanager
     def time(self, tag: str, num_calls: int = 1):
@@ -68,6 +104,47 @@ class Benchmarker:
         """jax.profiler trace (view with xprof/tensorboard)."""
         with jax.profiler.trace(logdir):
             yield
+
+    @contextmanager
+    def memory(self, tag: str, device=None):
+        """Record device-memory deltas/peaks around a stage.
+
+        Stores {before, after, peak, stage_peak_delta} bytes_in_use for
+        `tag` — the reference's per-stage peak_memory.json
+        (/root/reference/src/misc/benchmarker.py:66-116) on the TPU
+        allocator. No-op (empty record) on backends without memory_stats.
+        NOTE: the stage must be synced (host transfer) inside the block for
+        the after/peak numbers to cover its execution.
+        """
+        device = device or jax.local_devices()[0]
+        before = device_memory_stats(device)
+        try:
+            yield
+        finally:
+            after = device_memory_stats(device)
+            if after:
+                self.memory_stats[tag] = {
+                    "bytes_in_use_before": before.get("bytes_in_use", 0),
+                    "bytes_in_use_after": after.get("bytes_in_use", 0),
+                    "peak_bytes_in_use": after.get("peak_bytes_in_use", 0),
+                    "stage_peak_delta": after.get("peak_bytes_in_use", 0)
+                    - before.get("bytes_in_use", 0),
+                }
+            else:
+                self.memory_stats[tag] = {}
+
+    def dump_memory(self, path: str | Path, extra: dict | None = None) -> None:
+        """peak_memory.json: per-stage records + current device totals."""
+        path = Path(path)
+        path.parent.mkdir(exist_ok=True, parents=True)
+        record = {
+            "device": device_memory_stats(),
+            "stages": self.memory_stats,
+        }
+        if extra:
+            record.update(extra)
+        with open(path, "w") as f:
+            json.dump(record, f, indent=2)
 
     def summarize(self, skip_first: int = 0) -> dict:
         out = {}
