@@ -122,8 +122,48 @@ def main():
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
     }
+    record["bf16_tier_fwd_mpix_s"] = _bf16_tier_metric(
+        extr, intr, near, far, (h, w), bg, means, cov, sh, opac
+    )
     record.update(_train_step_metric())
     print(json.dumps(record))
+
+
+def _bf16_tier_metric(extr, intr, near, far, shape, bg, means, cov, sh, opac):
+    """Inference-tier rendering throughput: precision='bf16' forward-only
+    (the eval/preview path — the reference's CUDA rasterizer has no reduced-
+    precision tier, so this is TPU-only headroom). Same chained-steps
+    methodology as the exact number."""
+    import jax.numpy as jnp
+
+    cfg = RasterizeConfig(
+        capacity=1024, chunk=256, bin_chunk=128, precision="bf16"
+    )
+    b, (h, w) = means.shape[0], shape
+    inner = 16
+
+    # Scene tensors are jit ARGUMENTS: closing over them bakes ~400 MB of
+    # constants into the HLO and the remote-compile tunnel 413s.
+    @jax.jit
+    def chained(means, cov, sh, opac):
+        def body(_, means):
+            out = render(
+                extr, intr, near, far, (h, w), bg, means, cov, sh, opac,
+                cfg=cfg,
+            )
+            # Feed a pixel back into the means so steps serialize.
+            return means + 1e-30 * out.color[0, 0, 0, 0]
+
+        out = jax.lax.fori_loop(0, inner, body, means)
+        return out[0, 0, 0]
+
+    float(chained(means, cov, sh, opac))  # compile + warm
+    outer = 3
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        float(chained(means, cov, sh, opac))
+    dt = time.perf_counter() - t0
+    return round(b * h * w * inner * outer / dt / 1e6, 2)
 
 
 def _train_step_metric(timeout_s: int = 1500) -> dict:

@@ -87,6 +87,7 @@ def main():
         depth_unet_feat_dim=cfg.depth_unet_feat_dim,
         depth_unet_attn_res=cfg.depth_unet_attn_res,
         depth_unet_channel_mult=cfg.depth_unet_channel_mult,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     )
 
     def bb_vars(params):

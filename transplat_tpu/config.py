@@ -106,9 +106,11 @@ def re10k_config() -> RootCfg:
             depth_unet_channel_mult=(1, 1, 1, 1, 1),
             gaussian_adapter=GaussianAdapterCfg(0.5, 15.0, 4),
             opacity_mapping=OpacityMappingCfg(0.0, 0.0, 1),
-            # Mixed-precision conv/U-Net stages (reference trains under TF32,
-            # src/main.py:15); parity tests use EncoderCfg() defaults (f32).
-            compute_dtype="bfloat16",
+            # compute_dtype stays "float32": bf16 activations MEASURED SLOWER
+            # on v5e for these U-Nets (refine fwd 7.0 -> 14.3 ms real,
+            # cost_unet fwd+bwd 7.9 -> 11.9; scripts/bench_dp_stages.py) —
+            # f32 convs already run one-pass bf16 on the MXU, so the casts
+            # around every f32 GroupNorm only add converts and break fusions.
         ),
         loss=LossCfg(mse_weight=1.0, lpips_weight=0.05, lpips_apply_after_step=0),
     )

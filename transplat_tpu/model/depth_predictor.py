@@ -72,7 +72,9 @@ class DepthPredictor(nn.Module):
         self.corr_conv_in = conv(
             self.costvolume_unet_feat_dim, 3, name="corr_conv_in", dtype=self.dtype
         )
-        self.corr_norm_in = group_norm(self.costvolume_unet_feat_dim, name="corr_norm_in")
+        self.corr_norm_in = group_norm(
+            self.costvolume_unet_feat_dim, name="corr_norm_in", dtype=self.dtype
+        )
         self.corr_unet = unet_cls(
             model_channels=self.costvolume_unet_feat_dim,
             out_channels=self.costvolume_unet_feat_dim,
@@ -99,7 +101,7 @@ class DepthPredictor(nn.Module):
             self.depth_unet_feat_dim, 3, name="refine_conv_in", dtype=self.dtype
         )
         self.refine_norm_in = nn.GroupNorm(
-            num_groups=4, dtype=jnp.float32, name="refine_norm_in"
+            num_groups=4, dtype=self.dtype or jnp.float32, name="refine_norm_in"
         )
         self.refine_unet = unet_cls(
             model_channels=self.depth_unet_feat_dim,

@@ -63,16 +63,24 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) / jnp.sqrt(var + eps)
 
 
-def group_norm(channels: int, zero_init: bool = False, name: str | None = None) -> nn.GroupNorm:
-    """The LDM-UNet "normalization": GN(8) if divisible else GN(4), fp32 math.
+def group_norm(
+    channels: int,
+    zero_init: bool = False,
+    name: str | None = None,
+    dtype: jnp.dtype | None = None,
+) -> nn.GroupNorm:
+    """The LDM-UNet "normalization": GN(8) if divisible else GN(4).
 
     Mirrors /root/reference/src/model/encoder/matching/ldm_unet/util.py:189-213.
+    dtype None = f32 result. When the surrounding convs run bf16, pass bf16
+    so the chain has no f32 round-trips (flax still computes the mean/var
+    statistics in f32 internally).
     """
     groups = 8 if channels % 8 == 0 else 4
     return nn.GroupNorm(
         num_groups=groups,
         epsilon=1e-5,
-        dtype=jnp.float32,
+        dtype=dtype or jnp.float32,
         scale_init=zeros_init if zero_init else nn.initializers.ones,
         bias_init=zeros_init,
         name=name,

@@ -25,10 +25,10 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = conv(self.out_channels, 3, name="in_conv", dtype=self.dtype)(x)
-        h = group_norm(self.out_channels, name="in_norm")(h)
+        h = group_norm(self.out_channels, name="in_norm", dtype=self.dtype)(h)
         h = nn.silu(h)
         h = conv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(h)
-        h = group_norm(self.out_channels, zero_init=True, name="out_norm")(h)
+        h = group_norm(self.out_channels, zero_init=True, name="out_norm", dtype=self.dtype)(h)
         h = nn.silu(h)
         if x.shape[-1] != self.out_channels:
             x = conv(self.out_channels, 1, name="skip", dtype=self.dtype)(x)
@@ -77,7 +77,7 @@ class AttentionBlock(nn.Module):
         out = nn.Dense(
             c, kernel_init=torch_default_init, name="proj_out", dtype=self.dtype
         )(out)
-        out = group_norm(c, zero_init=True, name="norm")(out)
+        out = group_norm(c, zero_init=True, name="norm", dtype=self.dtype)(out)
         return (x + out.reshape(n, h, w, c)).astype(self.dtype or x.dtype)
 
 
