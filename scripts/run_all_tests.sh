@@ -38,5 +38,12 @@ python scripts/analyze_sampling_locality.py 2>>"$OUT/stderr.log" | tee "$OUT/sam
 echo "== VMEM efficiency model =="
 python scripts/analyze_vmem_efficiency.py 2>>"$OUT/stderr.log" | tee "$OUT/vmem_efficiency.txt" || true
 
+echo "== capacity-drop quality sweep (pallas vs exact tiled oracle) =="
+python scripts/capacity_sweep.py --out "$OUT/capacity_sweep.json"   2>>"$OUT/stderr.log" | tee "$OUT/capacity_sweep.txt" || true
+
+echo "== golden-scene overfit gate (500-step spot check; full 2000-step =="
+echo "== curve is committed under artifacts/testsuite_r4) =="
+python scripts/overfit_golden.py --steps 500 --min-psnr 20   --out "$OUT/overfit_golden_500.json" 2>>"$OUT/stderr.log"   | tail -5 | tee "$OUT/overfit_golden.txt" || true
+
 echo
-echo "artifacts in $OUT"
+echo "artifacts in $OUT (incl. peak_memory.json from profile_stages)"

@@ -39,9 +39,12 @@ STAGE_ORDER = [
 
 def device_memory_stats(device=None) -> dict:
     """Raw allocator stats for one device (bytes_in_use, peak_bytes_in_use,
-    ...); {} on backends without memory_stats (e.g. CPU). TPU analog of
+    ...); {} on backends without memory_stats (e.g. CPU, and the axon dev
+    tunnel — a directly-attached TPU reports them). TPU analog of
     torch.cuda.memory_stats consumed by the reference's memory dumps
-    (/root/reference/src/model/model_wrapper.py:427-515)."""
+    (/root/reference/src/model/model_wrapper.py:427-515); the compiled
+    per-stage breakdown (compiled_memory_analysis) fills the gap on
+    backends where runtime stats are unavailable."""
     device = device or jax.local_devices()[0]
     try:
         stats = device.memory_stats()
