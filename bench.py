@@ -70,7 +70,11 @@ def main():
     # chunk=256: composite sweep granularity (measured faster than 128).
     # bin_chunk=128: routing matmul cycles scale with ceil(CG/128) per lane;
     # at the tree's fan-out of 4, CG=128 halves them vs CG=256.
-    cfg = RasterizeConfig(capacity=1024, chunk=256, bin_chunk=128)
+    import os as _o
+    cfg = RasterizeConfig(
+        capacity=1024, chunk=int(_o.environ.get("TRANSPLAT_BENCH_CHUNK", "256")),
+        bin_chunk=128,
+    )
 
     def loss_fn(means, cov, sh, opac):
         out = render(extr, intr, near, far, (h, w), bg, means, cov, sh, opac, cfg=cfg)
