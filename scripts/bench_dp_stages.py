@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default=None,
                     help="override cfg compute dtype")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth refine U-Net ResBlocks (ops/s2d.py)")
     args = ap.parse_args()
 
     cfg = load_config("re10k").encoder
@@ -90,6 +92,7 @@ def main():
         depth_unet_attn_res=cfg.depth_unet_attn_res,
         depth_unet_channel_mult=cfg.depth_unet_channel_mult,
         dtype=dtype,
+        s2d_unet=args.s2d,
     )
 
     key = jax.random.PRNGKey(1)

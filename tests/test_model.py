@@ -103,3 +103,47 @@ class TestOpacityMapping:
         out0 = map_pdf_to_opacity(jnp.asarray(0.3), cfg, jnp.asarray(0))
         out1 = map_pdf_to_opacity(jnp.asarray(0.3), cfg, jnp.asarray(100))
         assert not np.allclose(float(out0), float(out1))
+
+
+class TestS2DUNet:
+    def test_s2d_unet_equivalent(self):
+        """UNetModel(s2d=True) computes the same function with the same
+        parameter tree as the fine-domain path (space-to-depth ResBlock
+        chains, ops/s2d.py) — outputs and gradients agree to fp
+        reassociation. Zero-init norms make the chains vanish at init, so
+        params are randomized first."""
+        import numpy as np
+
+        from transplat_tpu.model.unet import UNetModel
+
+        kw = dict(
+            model_channels=16, out_channels=16, num_res_blocks=1,
+            attention_resolutions=(8,), channel_mult=(1, 1, 1),
+            num_frames=2,
+        )
+        a = UNetModel(**kw)
+        b = UNetModel(**kw, s2d=True)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 32, 32, 12)),
+            jnp.float32,
+        )
+        va = a.init(jax.random.PRNGKey(0), x)
+        vb = b.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+        leaves, tree = jax.tree_util.tree_flatten(va)
+        rng = np.random.default_rng(1)
+        leaves = [
+            jnp.asarray(rng.standard_normal(l.shape) * 0.2, l.dtype)
+            for l in leaves
+        ]
+        va = jax.tree_util.tree_unflatten(tree, leaves)
+        ya = a.apply(va, x)
+        yb = b.apply(va, x)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5)
+        ga = jax.grad(lambda v: jnp.sum(a.apply(v, x) ** 2))(va)
+        gb = jax.grad(lambda v: jnp.sum(b.apply(v, x) ** 2))(va)
+        for p, q in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(
+                np.asarray(p), np.asarray(q),
+                atol=1e-4, rtol=1e-4,
+            )

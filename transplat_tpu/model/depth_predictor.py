@@ -56,6 +56,9 @@ class DepthPredictor(nn.Module):
     # /root/reference/src/model/utils/transformer.py:166-177).
     remat_unet: bool = False
     remat_matching: bool = False
+    # Space-to-depth ResBlock chains in the thin-channel refine U-Net
+    # (ops/s2d.py): same parameters/function, full-lane MXU shapes.
+    s2d_unet: bool = False
 
     def setup(self):
         c, d = self.feature_channels, self.num_depth_candidates
@@ -111,6 +114,7 @@ class DepthPredictor(nn.Module):
             channel_mult=tuple(self.depth_unet_channel_mult),
             num_frames=self.num_views,
             dtype=self.dtype,
+            s2d=self.s2d_unet,
             name="refine_unet",
         )
 

@@ -58,6 +58,10 @@ class EncoderCfg:
     # use_checkpoint + checkpointed UV layers, transformer.py:166-177).
     remat_unet: bool = False
     remat_matching: bool = False
+    # Space-to-depth ResBlock chains in the 32-channel refine U-Net
+    # (ops/s2d.py): identical parameters and function (fp-reassociation
+    # level), ~2x the conv throughput on TPU.
+    s2d_unet: bool = False
 
 
 def map_pdf_to_opacity(
@@ -148,6 +152,7 @@ class EncoderTranSplat(nn.Module):
             ),
             remat_unet=cfg.remat_unet,
             remat_matching=cfg.remat_matching,
+            s2d_unet=cfg.s2d_unet,
             name="depth_predictor",
         )(
             trans_features,
