@@ -106,19 +106,25 @@ class TestOpacityMapping:
 
 
 class TestS2DUNet:
-    def test_s2d_unet_equivalent(self):
+    @pytest.mark.parametrize(
+        "channel_mult,attn_res",
+        [((1, 1, 1), (4,)), ((1, 2), (2,))],
+    )
+    def test_s2d_unet_equivalent(self, channel_mult, attn_res):
         """UNetModel(s2d=True) computes the same function with the same
-        parameter tree as the fine-domain path (space-to-depth ResBlock
-        chains, ops/s2d.py) — outputs and gradients agree to fp
-        reassociation. Zero-init norms make the chains vanish at init, so
-        params are randomized first."""
+        parameter tree as the fine-domain path (level-scope space-to-depth
+        tower, ops/s2d.py) — outputs and gradients agree to fp
+        reassociation. Covers in-domain attention boundaries, skip concats
+        via splits-aware kernels (uniform mult), and channel-changing
+        mults. Zero-init norms make the chains vanish at init, so params
+        are randomized first."""
         import numpy as np
 
         from transplat_tpu.model.unet import UNetModel
 
         kw = dict(
             model_channels=16, out_channels=16, num_res_blocks=1,
-            attention_resolutions=(8,), channel_mult=(1, 1, 1),
+            attention_resolutions=attn_res, channel_mult=channel_mult,
             num_frames=2,
         )
         a = UNetModel(**kw)
@@ -139,11 +145,15 @@ class TestS2DUNet:
         va = jax.tree_util.tree_unflatten(tree, leaves)
         ya = a.apply(va, x)
         yb = b.apply(va, x)
-        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-5)
+        # Per-op equivalence is ~2e-6 (ops/s2d.py tests); through a full
+        # tower with softmax attention the reassociation differences
+        # accumulate — network-level tolerances like the other parity
+        # suites.
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=5e-4)
         ga = jax.grad(lambda v: jnp.sum(a.apply(v, x) ** 2))(va)
         gb = jax.grad(lambda v: jnp.sum(b.apply(v, x) ** 2))(va)
         for p, q in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
             np.testing.assert_allclose(
                 np.asarray(p), np.asarray(q),
-                atol=1e-4, rtol=1e-4,
+                atol=5e-4, rtol=2e-3,
             )

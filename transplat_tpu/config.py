@@ -111,6 +111,11 @@ def re10k_config() -> RootCfg:
             # cost_unet fwd+bwd 7.9 -> 11.9; scripts/bench_dp_stages.py) —
             # f32 convs already run one-pass bf16 on the MXU, so the casts
             # around every f32 GroupNorm only add converts and break fusions.
+            # Level-scope space-to-depth refine U-Net (ops/s2d.py): same
+            # function/params, refine fwd+bwd measured 28.7 -> 23.6 ms real
+            # (the thin-channel conv backward is XLA's pathological case;
+            # s2d gives it full MXU lanes).
+            s2d_unet=True,
         ),
         loss=LossCfg(mse_weight=1.0, lpips_weight=0.05, lpips_apply_after_step=0),
     )

@@ -14,10 +14,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.s2d import (
+    conv1x1_s2d,
     conv3x3_s2d,
     depth_to_space,
     group_norm_s2d,
     space_to_depth,
+    upsample2_s2d,
 )
 from .layers import conv, group_norm, torch_default_init, zeros_init
 
@@ -25,9 +27,11 @@ from .layers import conv, group_norm, torch_default_init, zeros_init
 class _SConv3x3(nn.Module):
     """3x3 conv evaluated in the s2d domain; param tree identical to
     nn.Conv (kernel (3, 3, CI, CO) + bias), so checkpoints/converters are
-    oblivious to the layout."""
+    oblivious to the layout. splits: fine widths when the input is a
+    concatenation of s2d segments (skip connections)."""
 
     features: int
+    splits: tuple | None = None
 
     @nn.compact
     def __call__(self, xs):
@@ -36,7 +40,24 @@ class _SConv3x3(nn.Module):
             "kernel", torch_default_init, (3, 3, ci, self.features)
         )
         bias = self.param("bias", zeros_init, (self.features,))
-        return conv3x3_s2d(xs, kernel, bias)
+        return conv3x3_s2d(xs, kernel, bias, self.splits)
+
+
+class _SConv1x1(nn.Module):
+    """1x1 conv in the s2d domain (phase-block-diagonal); params match
+    nn.Conv with a (1, 1, CI, CO) kernel."""
+
+    features: int
+    splits: tuple | None = None
+
+    @nn.compact
+    def __call__(self, xs):
+        ci = xs.shape[-1] // 4
+        kernel = self.param(
+            "kernel", torch_default_init, (1, 1, ci, self.features)
+        )
+        bias = self.param("bias", zeros_init, (self.features,))
+        return conv1x1_s2d(xs, kernel[0, 0], bias, self.splits)
 
 
 class _SGroupNorm(nn.Module):
@@ -61,27 +82,25 @@ class _SGroupNorm(nn.Module):
 class ResBlock(nn.Module):
     """Postnorm residual block (ldm_unet/unet.py:172-305).
 
-    s2d=True runs the conv->GN->SiLU->conv->GN->SiLU chain in the
-    space-to-depth domain (ops/s2d.py — full MXU lanes for thin channels;
-    one s2d + one d2s per block, same parameters, numerics within fp
-    reassociation). Falls back to the fine path when the spatial dims are
-    odd or a compute dtype is set."""
+    s2d=True: the block lives ENTIRELY in the space-to-depth domain —
+    input and output are s2d tensors (ops/s2d.py; full MXU lanes for thin
+    channels, and the thin-channel conv BACKWARD — XLA's pathological case
+    — runs on full-lane shapes too). Same parameter tree and the same
+    function to fp reassociation. in_splits: fine widths when the input is
+    a concatenated skip connection."""
 
     out_channels: int
     dtype: jnp.dtype | None = None
     s2d: bool = False
+    in_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
-        use_s2d = (
-            self.s2d
-            and self.dtype is None
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-        )
-        if use_s2d:
-            xs = space_to_depth(x)
-            h = _SConv3x3(self.out_channels, name="in_conv")(xs)
+        if self.s2d:
+            assert self.dtype is None
+            ci = x.shape[-1] // 4
+            splits = self.in_splits
+            h = _SConv3x3(self.out_channels, splits, name="in_conv")(x)
             h = _SGroupNorm(self.out_channels, name="in_norm")(h)
             h = nn.silu(h)
             h = _SConv3x3(self.out_channels, name="out_conv")(h)
@@ -89,14 +108,15 @@ class ResBlock(nn.Module):
                 self.out_channels, zero_init=True, name="out_norm"
             )(h)
             h = nn.silu(h)
-            h = depth_to_space(h)
-        else:
-            h = conv(self.out_channels, 3, name="in_conv", dtype=self.dtype)(x)
-            h = group_norm(self.out_channels, name="in_norm", dtype=self.dtype)(h)
-            h = nn.silu(h)
-            h = conv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(h)
-            h = group_norm(self.out_channels, zero_init=True, name="out_norm", dtype=self.dtype)(h)
-            h = nn.silu(h)
+            if ci != self.out_channels:
+                x = _SConv1x1(self.out_channels, splits, name="skip")(x)
+            return x + h
+        h = conv(self.out_channels, 3, name="in_conv", dtype=self.dtype)(x)
+        h = group_norm(self.out_channels, name="in_norm", dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(h)
+        h = group_norm(self.out_channels, zero_init=True, name="out_norm", dtype=self.dtype)(h)
+        h = nn.silu(h)
         if x.shape[-1] != self.out_channels:
             x = conv(self.out_channels, 1, name="skip", dtype=self.dtype)(x)
         return (x + h).astype(self.dtype or x.dtype)
@@ -167,6 +187,16 @@ class UNetModel(nn.Module):
         """x: (N, H, W, C_in) with N = b * num_frames."""
         mc = self.model_channels
         attn_res = set(self.attention_resolutions)
+        # LEVEL-scope space-to-depth: the whole down/middle/up tower lives
+        # in the s2d domain (in/out convs and attention at the fine
+        # boundaries; skip concats consumed via splits-aware kernels).
+        # Requires every level resolution even.
+        use_s2d = (
+            self.s2d
+            and self.dtype is None
+            and x.shape[1] % (1 << len(self.channel_mult)) == 0
+            and x.shape[2] % (1 << len(self.channel_mult)) == 0
+        )
 
         def maybe_attn(h, ds, prefix):
             if ds in attn_res:
@@ -180,13 +210,25 @@ class UNetModel(nn.Module):
                 )(h)
             return h
 
+        def maybe_attn_s2d(xs, ch, ds, prefix):
+            # Attention operates on fine tokens: d2s/s2d boundary (only at
+            # the configured resolutions — deep levels, tiny tensors).
+            if ds in attn_res:
+                return space_to_depth(
+                    maybe_attn(depth_to_space(xs), ds, prefix)
+                )
+            return xs
+
+        if use_s2d:
+            return self._forward_s2d(x, mc, attn_res, maybe_attn_s2d)
+
         hs = []
         h = conv(mc, 3, name="in_conv", dtype=self.dtype)(x)
         hs.append(h)
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = ResBlock(mult * mc, self.dtype, self.s2d, name=f"down_{level}_{i}")(h)
+                h = ResBlock(mult * mc, self.dtype, name=f"down_{level}_{i}")(h)
                 h = maybe_attn(h, ds, f"down_{level}_{i}")
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
@@ -194,14 +236,14 @@ class UNetModel(nn.Module):
                 hs.append(h)
                 ds *= 2
 
-        h = ResBlock(h.shape[-1], self.dtype, self.s2d, name="middle_0")(h)
-        h = ResBlock(h.shape[-1], self.dtype, self.s2d, name="middle_1")(h)
+        h = ResBlock(h.shape[-1], self.dtype, name="middle_0")(h)
+        h = ResBlock(h.shape[-1], self.dtype, name="middle_1")(h)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(mult * mc, self.dtype, self.s2d, name=f"up_{level}_{i}")(h)
+                h = ResBlock(mult * mc, self.dtype, name=f"up_{level}_{i}")(h)
                 h = maybe_attn(h, ds, f"up_{level}_{i}")
                 if level and i == self.num_res_blocks:
                     n, hh, ww, c = h.shape
@@ -211,5 +253,59 @@ class UNetModel(nn.Module):
 
         # Final out (postnorm): conv -> GN -> SiLU.
         h = conv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(h)
+        h = group_norm(self.out_channels, name="out_norm")(h)
+        return nn.silu(h)
+
+    def _forward_s2d(self, x, mc, attn_res, maybe_attn_s2d):
+        """Space-to-depth tower: identical structure/names/params as the
+        fine path; only the tensor layout differs (ops/s2d.py). Transposes
+        appear only at the in/out convs, stride-2 downsamples, and
+        attention boundaries (measured: per-block round-trips erase the
+        win, in-domain chains are ~2-3x on fwd+bwd)."""
+        hs = []  # (s2d tensor, fine channel width)
+        h = conv(mc, 3, name="in_conv")(x)
+        xs, ch = space_to_depth(h), mc
+        hs.append((xs, ch))
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                xs = ResBlock(
+                    mult * mc, s2d=True, name=f"down_{level}_{i}"
+                )(xs)
+                ch = mult * mc
+                xs = maybe_attn_s2d(xs, ch, ds, f"down_{level}_{i}")
+                hs.append((xs, ch))
+            if level != len(self.channel_mult) - 1:
+                hf = depth_to_space(xs)
+                hf = conv(ch, 3, stride=2, name=f"downsample_{level}")(hf)
+                xs = space_to_depth(hf)
+                hs.append((xs, ch))
+                ds *= 2
+
+        xs = ResBlock(ch, s2d=True, name="middle_0")(xs)
+        xs = ResBlock(ch, s2d=True, name="middle_1")(xs)
+
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip, skip_ch = hs.pop()
+                cat = jnp.concatenate([xs, skip], axis=-1)
+                xs = ResBlock(
+                    mult * mc, s2d=True, in_splits=(ch, skip_ch),
+                    name=f"up_{level}_{i}",
+                )(cat)
+                ch = mult * mc
+                xs = maybe_attn_s2d(xs, ch, ds, f"up_{level}_{i}")
+                if level and i == self.num_res_blocks:
+                    # repeat-2x upsample lands in-domain as a channel tile
+                    # (s2d of a repeated image has all phases equal).
+                    hf = depth_to_space(xs)
+                    xs = _SConv3x3(ch, name=f"upsample_{level}")(
+                        upsample2_s2d(hf)
+                    )
+                    ds //= 2
+
+        h = depth_to_space(xs)
+        # Final out (postnorm): conv -> GN -> SiLU.
+        h = conv(self.out_channels, 3, name="out_conv")(h)
         h = group_norm(self.out_channels, name="out_norm")(h)
         return nn.silu(h)

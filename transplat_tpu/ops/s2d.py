@@ -56,11 +56,32 @@ def depth_to_space(xs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def coarse_kernel(w: jnp.ndarray) -> jnp.ndarray:
+def _in_channel_offsets(splits):
+    """Base offset of (segment, phase) blocks for a CONCATENATED s2d input.
+
+    splits: fine channel widths of the concatenated segments. A single s2d
+    tensor is phase-major (ch = p * C + c); concatenating s2d tensors lays
+    the segments out back-to-back, each phase-major internally — the
+    kernel builders index input blocks through this map so concats never
+    need a relayout."""
+    offsets = []
+    base = 0
+    for c in splits:
+        offsets.append([base + p * c for p in range(4)])
+        base += 4 * c
+    return offsets
+
+
+def coarse_kernel(w: jnp.ndarray, splits=None) -> jnp.ndarray:
     """Fine (3, 3, CI, CO) kernel -> coarse (3, 3, 4CI, 4CO) s2d kernel.
 
-    Static-index assembly (traceable and differentiable in w)."""
+    Static-index assembly (traceable and differentiable in w). splits:
+    fine widths of a concatenated-s2d input layout (default: one segment
+    of CI)."""
     ci, co = w.shape[2], w.shape[3]
+    splits = tuple(splits) if splits is not None else (ci,)
+    assert sum(splits) == ci
+    offs = _in_channel_offsets(splits)
     weq = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
     for c in range(2):  # output phase row
         for d in range(2):  # output phase col
@@ -70,20 +91,43 @@ def coarse_kernel(w: jnp.ndarray) -> jnp.ndarray:
                 for dx in range(-1, 2):
                     v, b = (d + dx) // 2, (d + dx) % 2
                     p = a * 2 + b
-                    weq = weq.at[
-                        u + 1, v + 1,
-                        p * ci : (p + 1) * ci,
-                        q * co : (q + 1) * co,
-                    ].add(w[dy + 1, dx + 1])
+                    base = 0
+                    for seg, cw in enumerate(splits):
+                        weq = weq.at[
+                            u + 1, v + 1,
+                            offs[seg][p] : offs[seg][p] + cw,
+                            q * co : (q + 1) * co,
+                        ].add(w[dy + 1, dx + 1, base : base + cw])
+                        base += cw
     return weq
 
 
-def conv3x3_s2d(xs: jnp.ndarray, w: jnp.ndarray, bias=None) -> jnp.ndarray:
+def coarse_kernel_1x1(w: jnp.ndarray, splits=None) -> jnp.ndarray:
+    """Fine (CI, CO) 1x1-conv kernel -> coarse (1, 1, 4CI, 4CO): per-phase
+    block-diagonal (a 1x1 conv never mixes phases)."""
+    ci, co = w.shape
+    splits = tuple(splits) if splits is not None else (ci,)
+    assert sum(splits) == ci
+    offs = _in_channel_offsets(splits)
+    weq = jnp.zeros((1, 1, 4 * ci, 4 * co), w.dtype)
+    for p in range(4):
+        base = 0
+        for seg, cw in enumerate(splits):
+            weq = weq.at[
+                0, 0, offs[seg][p] : offs[seg][p] + cw,
+                p * co : p * co + co,
+            ].add(w[base : base + cw])
+            base += cw
+    return weq
+
+
+def conv3x3_s2d(xs, w, bias=None, splits=None) -> jnp.ndarray:
     """3x3 stride-1 same-pad conv in the s2d domain.
 
-    xs: (N, H/2, W/2, 4CI) s2d input; w: the FINE (3, 3, CI, CO) kernel.
+    xs: (N, H/2, W/2, 4CI) s2d input (optionally a concatenation of s2d
+    segments with fine widths `splits`); w: the FINE (3, 3, CI, CO) kernel.
     Returns the s2d of conv3x3(d2s(xs), w) — without leaving the domain."""
-    weq = coarse_kernel(w)
+    weq = coarse_kernel(w, splits)
     y = lax.conv_general_dilated(
         xs, weq, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -130,3 +174,23 @@ def group_norm_s2d(
     mul = inv_c * scale4[None, :]
     add = bias4[None, :] - mean_c * mul
     return xs * mul[:, None, None, :] + add[:, None, None, :]
+
+
+def conv1x1_s2d(xs, w, bias=None, splits=None) -> jnp.ndarray:
+    """1x1 conv in the s2d domain (phase-block-diagonal matmul)."""
+    weq = coarse_kernel_1x1(w, splits)
+    y = lax.conv_general_dilated(
+        xs, weq, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, 4)[None, None, None, :]
+    return y
+
+
+def upsample2_s2d(h_fine: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-2x upsample, landing directly in the s2d domain.
+
+    s2d(repeat2(h)) has every phase equal to h, so the result is a channel
+    tile — no spatial transpose at all."""
+    return jnp.tile(h_fine, (1, 1, 1, 4))
