@@ -140,8 +140,13 @@ def _bf16_tier_metric(extr, intr, near, far, shape, bg, means, cov, sh, opac):
     methodology as the exact number."""
     import jax.numpy as jnp
 
+    # Same env-resolved chunk as the exact tier so the two numbers are
+    # measured at identical sweep granularity (TRANSPLAT_BENCH_CHUNK).
     cfg = RasterizeConfig(
-        capacity=1024, chunk=256, bin_chunk=128, precision="bf16"
+        capacity=1024,
+        chunk=int(os.environ.get("TRANSPLAT_BENCH_CHUNK", "256")),
+        bin_chunk=128,
+        precision="bf16",
     )
     b, (h, w) = means.shape[0], shape
     inner = 16

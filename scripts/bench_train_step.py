@@ -13,6 +13,7 @@ environment); identical FLOPs/memory, so the timing is representative.
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import argparse
 import json
 import time
 
@@ -37,7 +38,26 @@ TUNNEL_MS = 25.0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s2d", choices=["config", "on", "off"], default="config",
+                    help="override EncoderCfg.s2d_unet for A/B verification")
+    ap.add_argument("--inner", type=int, default=1,
+                    help=">1: chain N steps on-device inside one jit "
+                    "(lax.fori_loop over the train step) so the per-dispatch "
+                    "tunnel latency and its ~ms jitter amortize away — use "
+                    "for A/Bs whose expected delta is inside the 1-dispatch "
+                    "noise band")
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
     cfg = load_config("re10k")
+    if args.s2d != "config":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            encoder=dataclasses.replace(cfg.encoder, s2d_unet=args.s2d == "on"),
+        )
     h, w = cfg.dataset.image_shape
     batch = synthetic_batch(0, batch_size=1, image_shape=(h, w), num_target=4)
     device_batch = {
@@ -66,18 +86,50 @@ def main():
     )
 
     rng = jax.random.PRNGKey(1)
+
+    if args.inner > 1:
+        # Chained on-device steps: one dispatch runs `inner` serialized full
+        # train steps (the state carry serializes them), one scalar probe
+        # syncs. Removes the per-step tunnel RT entirely from the loop.
+        @jax.jit
+        def chained(state):
+            def body(_, st):
+                st, _m = step_fn(st, device_batch, rng)
+                return st
+
+            st = jax.lax.fori_loop(0, args.inner, body, state)
+            leaf = jax.tree.leaves(st.params)[0]
+            return jnp.ravel(leaf)[0] + st.step.astype(jnp.float32)
+
+        float(chained(state))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            float(chained(state))
+        dt = time.perf_counter() - t0
+        ms = dt / (args.iters * args.inner) * 1e3
+        ms_real = (dt - args.iters * TUNNEL_MS / 1e3) / (args.iters * args.inner) * 1e3
+        print(json.dumps({
+            "train_step_ms": round(ms, 1),
+            "train_step_ms_real": round(ms_real, 1),
+            "chained_inner": args.inner,
+            "s2d": cfg.encoder.s2d_unet,
+            "train_views": 4,
+            "train_batch": 1,
+        }))
+        return
+
     state, metrics = step_fn(state, device_batch, rng)  # compile
     float(metrics["loss"])  # sync (block_until_ready is a tunnel no-op)
 
-    iters = 6
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(args.iters):
         state, metrics = step_fn(state, device_batch, rng)
         float(metrics["loss"])
-    ms = (time.perf_counter() - t0) / iters * 1e3
+    ms = (time.perf_counter() - t0) / args.iters * 1e3
     print(json.dumps({
         "train_step_ms": round(ms, 1),
         "train_step_ms_real": round(ms - TUNNEL_MS, 1),
+        "s2d": cfg.encoder.s2d_unet,
         "train_views": 4,
         "train_batch": 1,
     }))

@@ -12,10 +12,16 @@ Usage:
   python scripts/overfit_golden.py [--steps 2000] [--size 256] [--out FILE]
 
 Gate (asserted by tests/test_training.py::test_golden_overfit_cpu at reduced
-scale, and recorded on-chip under artifacts/): PSNR rises monotonically-ish
-and clears --min-psnr. Calibrated on v5e: lr 4e-4 / 2000 steps reaches
-25.0 dB (10.9 -> 15.6@75 -> 21.5@500 -> 25.0@2000; lr 1e-3 DIVERGES —
-collapses to ~9.9 dB). Each step ~0.33 s on one chip.
+scale, and recorded on-chip under artifacts/): the MEDIAN of the last 5 PSNR
+evals clears --min-psnr. Median-of-last-k (not the single final step) because
+two round-4 same-seed runs diverged after step ~175 (recompilation changes
+fp reassociation; optimization chaotically amplifies 1-ulp deltas) and one
+collapsed 20.2 -> 17.0 dB in its last 24 steps at constant lr 4e-4 — a
+single-step gate is noise. The lr now cosine-decays over the run (constant
+lr near convergence was collapse suspect #1); --no-cosine restores the old
+behavior. Calibrated on v5e: lr 4e-4 / 2000 steps reached 25.0 dB constant-lr
+(10.9 -> 15.6@75 -> 21.5@500; lr 1e-3 DIVERGES to ~9.9 dB). Each step
+~0.33 s on one chip.
 """
 
 import os as _os, sys as _sys
@@ -40,6 +46,12 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--min-psnr", type=float, default=25.0)
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="rasterizer worklist capacity override (default: "
+                    "RasterizeConfig default, 1024) — for quantifying "
+                    "capacity-drop effect on TRAINING, not just rendering")
+    ap.add_argument("--no-cosine", action="store_true",
+                    help="constant lr (round-4 behavior; collapse-prone tail)")
     ap.add_argument("--out", default="outputs/overfit_golden.json")
     args = ap.parse_args()
 
@@ -52,7 +64,19 @@ def main():
         make_train_step,
     )
 
+    import dataclasses
+
     cfg = load_config("re10k")
+    if args.capacity is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            decoder=dataclasses.replace(
+                cfg.decoder,
+                rasterize=dataclasses.replace(
+                    cfg.decoder.rasterize, capacity=args.capacity
+                ),
+            ),
+        )
     shape = (args.size, args.size)
     batch = golden_scene_batch(image_shape=shape)
     device_batch = {
@@ -60,8 +84,11 @@ def main():
         "target": {k: jnp.asarray(v) for k, v in batch["target"].items() if k != "index"},
     }
 
-    # Effectively constant LR (1-step warmup): overfitting, not training.
-    schedule = make_lr_schedule(args.lr, args.steps, cosine=False, warm_up_steps=1)
+    # 1-step warmup (overfitting, not training); cosine decay by default so
+    # the tail is not sitting at full lr when converged (round-4 collapse).
+    schedule = make_lr_schedule(
+        args.lr, args.steps, cosine=not args.no_cosine, warm_up_steps=1
+    )
     optimizer = make_optimizer(schedule, cfg.optimizer.gradient_clip_val)
     state = create_train_state(
         jax.random.PRNGKey(0), cfg.encoder, optimizer, batch
@@ -75,7 +102,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step_fn(state, device_batch, rng)
-        if i % 25 == 0 or i == args.steps - 1:
+        # Dense evals over the last 25 steps feed the median-of-last-5 gate.
+        if i % 25 == 0 or i >= args.steps - 25 and i % 5 == 4 or i == args.steps - 1:
             psnr = float(metrics["psnr"])
             curve.append({"step": i, "psnr": round(psnr, 3),
                           "loss": round(float(metrics["loss"]), 5),
@@ -85,20 +113,28 @@ def main():
     wall = time.perf_counter() - t0
 
     final = curve[-1]["psnr"]
+    last5 = sorted(c["psnr"] for c in curve[-5:])
+    gate_psnr = last5[len(last5) // 2]
     record = {
         "steps": args.steps,
         "size": args.size,
+        "capacity": args.capacity,
+        "cosine": not args.no_cosine,
         "final_psnr": final,
+        "gate_psnr_median_last5": gate_psnr,
         "wall_s": round(wall, 1),
         "curve": curve,
-        "passed": final >= args.min_psnr,
+        "passed": gate_psnr >= args.min_psnr,
     }
     _os.makedirs(_os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
-    print(json.dumps({k: record[k] for k in ("final_psnr", "wall_s", "passed")}))
+    print(json.dumps({k: record[k] for k in (
+        "final_psnr", "gate_psnr_median_last5", "wall_s", "passed")}))
     if not record["passed"]:
-        raise SystemExit(f"FAIL: final PSNR {final:.2f} < {args.min_psnr}")
+        raise SystemExit(
+            f"FAIL: median-of-last-5 PSNR {gate_psnr:.2f} < {args.min_psnr}"
+        )
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ echo "== 4-phase summary =="
 python scripts/analyze_phase_summary.py "$OUT/stage_profile.json" \
   --out "$OUT/phase_summary.json" 2>>"$OUT/stderr.log" | tee "$OUT/phase_summary.txt" || true
 
+echo "== HBM-traffic share by phase =="
+python scripts/analyze_hbm_share.py "$OUT/stage_profile.json" \
+  --out "$OUT/hbm_share.json" 2>>"$OUT/stderr.log" | tee "$OUT/hbm_share.txt" || true
+
 echo "== sampling locality analysis =="
 python scripts/analyze_sampling_locality.py 2>>"$OUT/stderr.log" | tee "$OUT/sampling_locality.txt" || true
 
@@ -42,8 +46,14 @@ echo "== capacity-drop quality sweep (pallas vs exact tiled oracle) =="
 python scripts/capacity_sweep.py --out "$OUT/capacity_sweep.json"   2>>"$OUT/stderr.log" | tee "$OUT/capacity_sweep.txt" || true
 
 echo "== golden-scene overfit gate (500-step spot check; full 2000-step =="
-echo "== curve is committed under artifacts/testsuite_r4) =="
-python scripts/overfit_golden.py --steps 500 --min-psnr 20   --out "$OUT/overfit_golden_500.json" 2>>"$OUT/stderr.log"   | tail -5 | tee "$OUT/overfit_golden.txt" || true
+echo "== curve is committed under artifacts/) =="
+# NOT masked: a red quality gate must make this driver red (round-4 verdict).
+python scripts/overfit_golden.py --steps 500 --min-psnr 20   --out "$OUT/overfit_golden_500.json" 2>>"$OUT/stderr.log"   | tail -8 | tee "$OUT/overfit_golden.txt"
+GATE_RC=${PIPESTATUS[0]}
 
 echo
 echo "artifacts in $OUT (incl. peak_memory.json from profile_stages)"
+if [ "$GATE_RC" -ne 0 ]; then
+  echo "GOLDEN GATE FAILED (rc=$GATE_RC)" >&2
+  exit "$GATE_RC"
+fi

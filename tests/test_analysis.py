@@ -126,3 +126,39 @@ class TestPhaseSummary:
         total_share = sum(p["share"] for p in phases.values())
         np.testing.assert_allclose(total_share, 1.0, atol=1e-6)
         assert phases["Depth Prediction"]["mean_ms"] > phases["Feature Extraction"]["mean_ms"]
+
+    def test_hbm_share_from_stage_profile(self):
+        """scripts/analyze_hbm_share groups per-stage XLA bytes-accessed into
+        the 4-phase HBM-traffic share table (the fork's analyze_hbm_traffic
+        DDR attribution, on compiled cost analysis instead of bus counters)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "analyze_hbm_share", "scripts/analyze_hbm_share.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        profile = {
+            "rows": [
+                {"stage": "encoder_2_backbone", "gb_accessed": 6.0,
+                 "real_ms": 12.0, "gb_per_s": 500.0},
+                {"stage": "encoder_4e_depth_refine_unet", "gb_accessed": 8.0,
+                 "real_ms": 20.0, "gb_per_s": 400.0},
+                {"stage": "encoder_4b_cost_volume_matching", "gb_accessed": 2.0,
+                 "real_ms": 5.0, "gb_per_s": 400.0},
+                {"stage": "decoder", "gb_accessed": 4.0,
+                 "real_ms": 10.0, "gb_per_s": 400.0},
+            ]
+        }
+        result = mod.summarize(profile)
+        shares = {p: v["hbm_share"] for p, v in result["phases"].items()}
+        np.testing.assert_allclose(sum(shares.values()), 1.0, atol=1e-9)
+        np.testing.assert_allclose(shares["Depth Prediction"], 0.5, atol=1e-9)
+        np.testing.assert_allclose(shares["Feature Extraction"], 0.3, atol=1e-9)
+        np.testing.assert_allclose(shares["Decoder"], 0.2, atol=1e-9)
+        assert result["total_gb_accessed"] == 20.0
+        # Per-phase achieved bandwidth: bytes / real time.
+        np.testing.assert_allclose(
+            result["phases"]["Depth Prediction"]["gb_per_s"], 10.0 / 0.025,
+        )

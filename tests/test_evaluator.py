@@ -98,3 +98,67 @@ def test_missing_index_errors_helpfully(evaluator):
     assert ev.cfg.test.evaluation_index is None
     with pytest.raises(ValueError, match="evaluation_index"):
         ev.make_dataset()
+
+
+def test_three_metric_eval_with_converted_lpips(evaluator, tmp_path):
+    """End-to-end three-metric plumbing on synthetic data: a random-init
+    lpips(net='vgg')-style torch state dict goes through
+    scripts/convert_weights.convert_lpips -> loss/vgg.load_lpips_weights
+    (strict: all 13 convs + 5 heads) -> Evaluator(lpips_params=...), so the
+    score artifacts exercise psnr+ssim+lpips — the reference's three-metric
+    protocol (src/evaluation/metrics.py) — without the env-blocked real
+    weights."""
+    import importlib.util
+    import json
+
+    import jax.numpy as jnp
+
+    from transplat_tpu.loss.vgg import LPIPS, load_lpips_weights
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_weights", "scripts/convert_weights.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # lpips-package naming: net.sliceK.<torchvision feature idx>.weight.
+    rng = np.random.RandomState(0)
+    conv_channels = [
+        (64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+        (256, 256), (512, 256), (512, 512), (512, 512), (512, 512),
+        (512, 512), (512, 512),
+    ]
+    feature_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    slice_of = lambda n: 1 + sum(n > b for b in (3, 8, 15, 22))
+    sd = {}
+    for (cout, cin), n in zip(conv_channels, feature_idx):
+        sd[f"net.slice{slice_of(n)}.{n}.weight"] = (
+            rng.randn(cout, cin, 3, 3).astype(np.float32) * 0.05
+        )
+        sd[f"net.slice{slice_of(n)}.{n}.bias"] = np.zeros(cout, np.float32)
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        sd[f"lin{i}.model.1.weight"] = np.abs(
+            rng.randn(1, c, 1, 1).astype(np.float32)
+        )
+
+    converted = mod.convert_lpips(sd)
+    lpips_mod = LPIPS()
+    dummy = jnp.zeros((1, 32, 32, 3))
+    variables = lpips_mod.init(jax.random.PRNGKey(0), dummy, dummy)
+    loaded = load_lpips_weights(variables, converted, strict=True)
+    # The converted conv actually landed (strict loader injects, not copies).
+    got = np.asarray(loaded["params"]["vgg"]["conv0"]["kernel"])
+    np.testing.assert_array_equal(
+        got, sd["net.slice1.0.weight"].transpose(2, 3, 1, 0)
+    )
+
+    ev, batch = evaluator
+    ev.lpips_params = loaded["params"]
+    scores, _ = ev.evaluate_batch(batch)
+    assert {"psnr", "ssim", "lpips"} <= set(scores)
+    assert np.isfinite(scores["lpips"]) and scores["lpips"] >= 0.0
+
+    ev.scores["scene0"] = {k: v for k, v in scores.items()}
+    ev.finalize(tmp_path)
+    avg = json.loads((tmp_path / "scores_all_avg.json").read_text())
+    assert {"psnr", "ssim", "lpips"} <= set(avg)

@@ -7,6 +7,8 @@ These tests pin: bit-parity with the unsharded path, gradients, the Pallas
 kernel path under sp>1 (interpret mode), and the boundary collective.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,3 +125,73 @@ def test_gaussians_stay_sharded_until_boundary():
     lowered = jax.jit(f).lower(gs.means, gs.covariances, gs.harmonics, gs.opacities)
     hlo = lowered.compile().as_text()
     assert "all-gather" in hlo
+
+
+def test_two_process_shard_batch(tmp_path):
+    """2-process jax.distributed CPU smoke test: drives shard_batch's
+    process_count()>1 branch (make_array_from_process_local_data,
+    parallel/mesh.py) and the per-process chunk striping that
+    Trainer.make_dataset wires from jax.process_index() — the multi-host
+    seams no single-process test can reach. Asserts (in the children) that
+    the assembled global batch is bit-equal to the single-process batch and
+    (here) that the chunk stripes are disjoint and cover all chunks.
+    Reference behavior mirrored: per-rank DataLoader feeding
+    (src/dataset/data_module.py:83-88) + rank-striped chunks
+    (src/dataset/dataset_re10k.py:98-103)."""
+    import socket
+    import subprocess
+    import sys
+
+    from test_dataset import make_chunk
+
+    root = tmp_path / "ds"
+    (root / "train").mkdir(parents=True)
+    for i in range(3):
+        make_chunk(root / "train" / f"{i:06d}.torch", num_scenes=1, hw=(72, 96))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    child = os.path.join(os.path.dirname(__file__), "_multiproc_child.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), "2", str(port), str(root)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"child failed rc={rc}\nstdout:\n{out}\nstderr:\n{err}"
+        assert "OK" in out
+
+    stripes = []
+    for _, out, _ in outs:
+        for line in out.splitlines():
+            if line.startswith("STRIPE"):
+                names = line.split(": ", 1)[1]
+                stripes.append(set(names.split(",")) if names else set())
+    assert len(stripes) == 2
+    assert stripes[0] & stripes[1] == set(), "stripes must be disjoint"
+    assert stripes[0] | stripes[1] == {f"{i:06d}.torch" for i in range(3)}

@@ -336,3 +336,46 @@ class TestCapacityDropQuality:
         mse = float(np.mean((np.asarray(a.color) - np.asarray(b_.color)) ** 2))
         psnr = -10.0 * np.log10(mse + 1e-12)
         assert psnr > 30.0, (psnr, err.max())
+
+
+class TestLaneCumsum:
+    """Unit coverage for the triangular-matmul prefix-sum helpers, including
+    the multi-input stacking path (fusing several row blocks into one matmul
+    stream) that the kernel bodies currently call only via the single-input
+    wrapper."""
+
+    def test_single_matches_numpy(self):
+        from transplat_tpu.ops.rasterizer.pallas_composite import _lane_cumsum
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+        for exclusive in (True, False):
+            got = np.asarray(_lane_cumsum(x, 256, exclusive=exclusive, parts=3))
+            want = np.cumsum(np.asarray(x), axis=1)
+            if exclusive:
+                want = want - np.asarray(x)
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+    def test_multi_stacking_bit_identical_to_single(self):
+        from transplat_tpu.ops.rasterizer.pallas_composite import (
+            _lane_cumsum,
+            _lane_cumsum_multi,
+        )
+
+        rng = np.random.RandomState(1)
+        a = jnp.asarray(rng.randn(3, 256).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-2, 0, (5, 256)).astype(np.float32))
+        for exclusive in (True, False):
+            multi_a, multi_b = _lane_cumsum_multi(
+                [a, b], 256, [3, 2], exclusive=exclusive
+            )
+            single_a = _lane_cumsum(a, 256, exclusive=exclusive, parts=3)
+            single_b = _lane_cumsum(b, 256, exclusive=exclusive, parts=2)
+            # dot_general output rows are independent -> stacking must not
+            # change results at the bit level (the docstring's guarantee).
+            np.testing.assert_array_equal(np.asarray(multi_a), np.asarray(single_a))
+            np.testing.assert_array_equal(np.asarray(multi_b), np.asarray(single_b))
+            want = np.cumsum(np.asarray(a), axis=1)
+            if exclusive:
+                want = want - np.asarray(a)
+            np.testing.assert_allclose(np.asarray(multi_a), want, atol=1e-4)

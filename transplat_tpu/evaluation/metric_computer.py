@@ -78,10 +78,12 @@ class MetricComputer:
             out = Path(self.cfg.output_path) / "side_by_side" / f"{scene}.png"
             save_image(rows[0], out)
             if self.cfg.animate_side_by_side and len(rows) > 1:
+                # Fixed 30 fps like the reference's ffmpeg animation; only
+                # degenerate 2-3 frame scenes slow down so they are visible.
                 save_video(
                     rows,
                     Path(self.cfg.output_path) / "videos" / f"{scene}.mp4",
-                    fps=min(30, max(2, len(rows))),
+                    fps=30 if len(rows) >= 4 else 2,
                 )
 
     def summarize(self) -> dict:

@@ -60,8 +60,17 @@ class EncoderCfg:
     remat_matching: bool = False
     # Space-to-depth ResBlock chains in the 32-channel refine U-Net
     # (ops/s2d.py): identical parameters and function (fp-reassociation
-    # level), ~2x the conv throughput on TPU.
+    # level), ~2x the conv throughput on TPU. Mutually exclusive with
+    # compute_dtype="bfloat16" (the s2d tower is f32-only; see __post_init__).
     s2d_unet: bool = False
+
+    def __post_init__(self):
+        if self.s2d_unet and self.compute_dtype == "bfloat16":
+            raise ValueError(
+                "s2d_unet=True requires compute_dtype='float32': the s2d "
+                "U-Net tower only builds when dtype is None (model/unet.py), "
+                "so bf16 would silently disable it. Pick one."
+            )
 
 
 def map_pdf_to_opacity(

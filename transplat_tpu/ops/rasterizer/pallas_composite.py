@@ -280,16 +280,15 @@ def _composite_bwd_kernel(
         g_dot_c = sum(
             g[:, ch : ch + 1] * sl[7 + ch : 8 + ch, :] for ch in range(c_out)
         )
-        # Both cumsums fused into one matmul stream. The transmittance
-        # cumsum uses the SAME parts_t as the forward: the live gate must
-        # flip identically, and identical computation (not exactness) is
-        # what guarantees that. The contribution cumsum stays 3-way exact:
-        # a 2-way split there measured d_conic errors up to ~5e-3 — the
-        # error rides d_power and is amplified by dx^2 (up to radius^2)
-        # and 1/(1-alpha) in the conic/mean gradients. Stacking both in one
-        # call changes neither result (dot_general rows are independent).
-        # s_prime needs excl first, so the exclusive cumsum of s_prime is
-        # taken and shifted: incl = excl(s') + s' — exact f32 adds.
+        # Two sequential cumsum calls (NOT fusable into one stacked matmul:
+        # s_prime is built FROM excl, so the second cumsum's input depends
+        # on the first's output). The transmittance cumsum uses the SAME
+        # parts_t as the forward: the live gate must flip identically, and
+        # identical computation (not exactness) is what guarantees that.
+        # The contribution cumsum stays 3-way exact: a 2-way split there
+        # measured d_conic errors up to ~5e-3 — the error rides d_power and
+        # is amplified by dx^2 (up to radius^2) and 1/(1-alpha) in the
+        # conic/mean gradients.
         excl = _lane_cumsum(log1m, chunk, exclusive=True, parts=parts_t)
         s_prime = g_dot_c * alpha * jnp.exp(excl)
         cs_prime = _lane_cumsum(s_prime, chunk, exclusive=False)

@@ -112,7 +112,7 @@ class Benchmarker:
     def memory(self, tag: str, device=None):
         """Record device-memory deltas/peaks around a stage.
 
-        Stores {before, after, peak, stage_peak_delta} bytes_in_use for
+        Stores {before, after, cumulative peak, stage_peak_delta_est} for
         `tag` — the reference's per-stage peak_memory.json
         (/root/reference/src/misc/benchmarker.py:66-116) on the TPU
         allocator. No-op (empty record) on backends without memory_stats.
@@ -126,12 +126,23 @@ class Benchmarker:
         finally:
             after = device_memory_stats(device)
             if after:
+                # peak_bytes_in_use is a PROCESS-LIFETIME high-water mark
+                # (never reset), so it only bounds THIS stage's peak when it
+                # moved during the stage; otherwise the stage stayed under
+                # an earlier global peak and the best stage-scoped bound is
+                # its live-bytes delta.
+                peak_before = before.get("peak_bytes_in_use", 0)
+                peak_after = after.get("peak_bytes_in_use", 0)
+                bytes_before = before.get("bytes_in_use", 0)
+                bytes_after = after.get("bytes_in_use", 0)
+                stage_peak = (
+                    peak_after if peak_after > peak_before else bytes_after
+                )
                 self.memory_stats[tag] = {
-                    "bytes_in_use_before": before.get("bytes_in_use", 0),
-                    "bytes_in_use_after": after.get("bytes_in_use", 0),
-                    "peak_bytes_in_use": after.get("peak_bytes_in_use", 0),
-                    "stage_peak_delta": after.get("peak_bytes_in_use", 0)
-                    - before.get("bytes_in_use", 0),
+                    "bytes_in_use_before": bytes_before,
+                    "bytes_in_use_after": bytes_after,
+                    "peak_bytes_in_use_cumulative": peak_after,
+                    "stage_peak_delta_est": stage_peak - bytes_before,
                 }
             else:
                 self.memory_stats[tag] = {}
