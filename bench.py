@@ -71,8 +71,13 @@ def main():
     # bin_chunk=128: routing matmul cycles scale with ceil(CG/128) per lane;
     # at the tree's fan-out of 4, CG=128 halves them vs CG=256.
     import os as _o
+    tile = int(_o.environ.get("TRANSPLAT_BENCH_TILE", "16"))
     cfg = RasterizeConfig(
-        capacity=1024, chunk=int(_o.environ.get("TRANSPLAT_BENCH_CHUNK", "256")),
+        tile_size=tile,
+        capacity=int(
+            _o.environ.get("TRANSPLAT_BENCH_CAPACITY", str(1024 * (tile // 16) ** 2))
+        ),
+        chunk=int(_o.environ.get("TRANSPLAT_BENCH_CHUNK", "256")),
         bin_chunk=128,
     )
 

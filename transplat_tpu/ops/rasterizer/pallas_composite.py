@@ -42,6 +42,12 @@ from .reference import TRANSMITTANCE_EPS
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
+# Mosaic's default scoped-vmem limit is 16 MB; v5e has 128 MB. The pair
+# unroll keeps two chunks' (P, CK) temporaries live, which breaches 16 MB
+# at chunk=512 (and at tile_size=32) — the round-4 "chunk=512 OOM" was this
+# default, not physical VMEM.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _pixel_coords(tile_id, tile_size: int, ntx: int, levels, num_tiles: int,
                   p: int):
@@ -138,7 +144,8 @@ def _chunk_alpha(sl, px, py):
     radius = sl[5:6, :]
     opac = sl[6:7, :]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    raw = opac * jnp.exp(power)
+    exp_power = jnp.exp(power)
+    raw = opac * exp_power
     alpha = jnp.minimum(ALPHA_MAX, raw)
     keep = (
         (power <= 0.0)
@@ -147,7 +154,7 @@ def _chunk_alpha(sl, px, py):
     )
     alpha = jnp.where(keep, alpha, 0.0)
     uncapped = keep & (raw < ALPHA_MAX)
-    return alpha, dx, dy, power, uncapped
+    return alpha, dx, dy, power, uncapped, exp_power
 
 
 def _composite_fwd_kernel(
@@ -173,7 +180,7 @@ def _composite_fwd_kernel(
         # relative in the live region (|excl| < -log EPS). parts_t = 1 is
         # the bf16 inference tier (~2^-8).
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
-        alpha, _, _, _, _ = _chunk_alpha(sl, px, py)
+        alpha = _chunk_alpha(sl, px, py)[0]
         log1m = jnp.log1p(-alpha)
         excl = _lane_cumsum(log1m, chunk, exclusive=True, parts=parts_t)
         return sl, alpha, log1m, excl
@@ -274,7 +281,7 @@ def _composite_bwd_kernel(
         # since t_before is non-increasing along lanes) is applied in
         # combine as a cheap select against the live total.
         sl = gdat_ref[0, :, pl.ds(ci * chunk, chunk)]
-        alpha, dx, dy, power, uncapped = _chunk_alpha(sl, px, py)
+        alpha, dx, dy, power, uncapped, exp_power = _chunk_alpha(sl, px, py)
         log1m = jnp.log1p(-alpha)
         # <g, c_k> per pixel-gaussian: (P, CK), c_out VPU broadcast-FMAs.
         g_dot_c = sum(
@@ -288,17 +295,19 @@ def _composite_bwd_kernel(
         # The contribution cumsum stays 3-way exact: a 2-way split there
         # measured d_conic errors up to ~5e-3 — the error rides d_power and
         # is amplified by dx^2 (up to radius^2) and 1/(1-alpha) in the
-        # conic/mean gradients.
+        # conic/mean gradients. exp(excl) is shared with combine's t_before
+        # (it was computed twice per chunk before the round-5 trace).
         excl = _lane_cumsum(log1m, chunk, exclusive=True, parts=parts_t)
-        s_prime = g_dot_c * alpha * jnp.exp(excl)
+        e_excl = jnp.exp(excl)
+        s_prime = g_dot_c * alpha * e_excl
         cs_prime = _lane_cumsum(s_prime, chunk, exclusive=False)
-        return (ci, sl, alpha, dx, dy, power, uncapped, log1m, excl, g_dot_c,
-                s_prime, cs_prime)
+        return (ci, sl, alpha, dx, dy, power, uncapped, exp_power, log1m,
+                e_excl, g_dot_c, s_prime, cs_prime)
 
-    def combine(carry, ci, sl, alpha, dx, dy, power, uncapped, log1m, excl,
-                g_dot_c, s_prime, cs_prime):
+    def combine(carry, ci, sl, alpha, dx, dy, power, uncapped, exp_power,
+                log1m, e_excl, g_dot_c, s_prime, cs_prime):
         t_run, prefix = carry  # (P, 1), (P, 1) running <g, prefix>
-        t_before = t_run * jnp.exp(excl)
+        t_before = t_run * e_excl
         live = t_before >= TRANSMITTANCE_EPS
         alpha_t = jnp.where(live, alpha * t_before, 0.0)  # (P, CK)
         # live is a prefix mask per pixel: cumsum(s' * live) equals cs_prime
@@ -320,10 +329,11 @@ def _composite_bwd_kernel(
         # d color: sum over pixels of g[p, :] * alpha_t[p, k] -> (c_out, CK).
         d_rgb = dot_g(g, alpha_t, dimension_numbers=(((0,), (0,)), ((), ())))
 
-        # Chain through alpha = opac * exp(power) (capped & masked).
+        # Chain through alpha = opac * exp(power) (capped & masked);
+        # exp(power) is reused from _chunk_alpha, not recomputed.
         a, b, c = sl[2:3, :], sl[3:4, :], sl[4:5, :]
         d_alpha_eff = jnp.where(uncapped, d_alpha, 0.0)
-        d_opac = jnp.sum(d_alpha_eff * jnp.exp(power), axis=0, keepdims=True)
+        d_opac = jnp.sum(d_alpha_eff * exp_power, axis=0, keepdims=True)
         d_power = d_alpha_eff * alpha
         d_conic_a = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
         d_conic_b = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
@@ -416,6 +426,7 @@ def _fwd_call(gdat, counts, tile_size, ntx, levels, num_tiles, chunk,
             jax.ShapeDtypeStruct((bt, 1, p), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(counts, gdat)
 
 
@@ -451,6 +462,7 @@ def _bwd_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bt, f, k), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(counts, gdat, gacc, gtfin, accres, tfinres)
 
 
