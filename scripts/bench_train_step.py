@@ -48,9 +48,23 @@ def main():
                     "for A/Bs whose expected delta is inside the 1-dispatch "
                     "noise band")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="rasterizer worklist capacity override")
     args = ap.parse_args()
 
     cfg = load_config("re10k")
+    if args.capacity is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            decoder=_dc.replace(
+                cfg.decoder,
+                rasterize=_dc.replace(
+                    cfg.decoder.rasterize, capacity=args.capacity
+                ),
+            ),
+        )
     if args.s2d != "config":
         import dataclasses
 

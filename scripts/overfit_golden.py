@@ -19,9 +19,13 @@ fp reassociation; optimization chaotically amplifies 1-ulp deltas) and one
 collapsed 20.2 -> 17.0 dB in its last 24 steps at constant lr 4e-4 — a
 single-step gate is noise. The lr now cosine-decays over the run (constant
 lr near convergence was collapse suspect #1); --no-cosine restores the old
-behavior. Calibrated on v5e: lr 4e-4 / 2000 steps reached 25.0 dB constant-lr
-(10.9 -> 15.6@75 -> 21.5@500; lr 1e-3 DIVERGES to ~9.9 dB). Each step
-~0.33 s on one chip.
+behavior. Round-5 root cause of BOTH effects: worklist-capacity gradient
+starvation (see config.py re10k decoder comment) — at the old capacity 1024
+the optimization bifurcates (22.8 or 15.5 dB at step 500 depending on
+compilation roundings); at the shipped 4096 it is stable at 36.7 dB with
+zero drops. Calibration on v5e, cosine lr 4e-4, 500 steps: cap 1024 -> 22.8,
+2048 -> 31.7, 4096 -> 36.7 dB (artifacts/testsuite_r5/run_cap*.json; lr 1e-3
+DIVERGES to ~9.9 dB). Each step ~0.33-0.4 s on one chip.
 """
 
 import os as _os, sys as _sys

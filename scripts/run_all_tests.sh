@@ -48,7 +48,9 @@ python scripts/capacity_sweep.py --out "$OUT/capacity_sweep.json"   2>>"$OUT/std
 echo "== golden-scene overfit gate (500-step spot check; full 2000-step =="
 echo "== curve is committed under artifacts/) =="
 # NOT masked: a red quality gate must make this driver red (round-4 verdict).
-python scripts/overfit_golden.py --steps 500 --min-psnr 20   --out "$OUT/overfit_golden_500.json" 2>>"$OUT/stderr.log"   | tail -8 | tee "$OUT/overfit_golden.txt"
+# min-psnr 30: with the capacity-starvation fix (training capacity 4096, zero
+# drops) the 500-step curve lands at 36.7 dB, far from the old bifurcation.
+python scripts/overfit_golden.py --steps 500 --min-psnr 30   --out "$OUT/overfit_golden_500.json" 2>>"$OUT/stderr.log"   | tail -8 | tee "$OUT/overfit_golden.txt"
 GATE_RC=${PIPESTATUS[0]}
 
 echo

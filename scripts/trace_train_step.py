@@ -86,15 +86,16 @@ def main():
     parsed = parse_trace(tdir)
     att = attribute(parsed)
 
-    # Additionally group by tf_op prefix (model-module attribution).
+    # Additionally group by tf_op prefix (model-module attribution); ops
+    # without tf_op (layout copies etc.) fall back to their source line.
     ops = parsed["ops"]
     by_group = collections.defaultdict(lambda: {"us": 0.0, "count": 0})
     for e in ops:
         tf_op = e["args"].get("tf_op", "")
-        # 'jit(train_step)/jvp(EncoderTranSplat)/depth_predictor/...' style —
-        # keep the 3 most specific path segments that aren't the jit wrapper.
         parts = [p for p in tf_op.split("/") if p and not p.startswith("jit(")]
-        key = "/".join(parts[:3]) if parts else "<no tf_op>"
+        key = "/".join(parts[:5]) if parts else (
+            "<copy/fmt> " + e["args"].get("source", "?")
+        )
         by_group[key]["us"] += e["dur"]
         by_group[key]["count"] += 1
 

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -151,3 +152,80 @@ class TestScoresCustomVJP:
             lambda s: loss(deform_sample_scores_gather, s, loc, weights)
         )(scores)
         np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=1e-4)
+
+
+class TestPallasScores:
+    """Pallas deform-scores kernel (ops/deform_pallas.py) vs the gather
+    oracle and the XLA chunked form — forward, all three gradients, vmap
+    (the model's directed-pair axis), and OOB corner handling."""
+
+    def _case(self, q=256, d=128, p=4, h=64, w=64, seed=0):
+        k = jax.random.split(jax.random.PRNGKey(seed), 3)
+        scores = jax.random.normal(k[0], (q, h * w))
+        loc = jax.random.uniform(k[1], (q, d, p, 2), minval=-0.05, maxval=1.05)
+        aw = jax.nn.softmax(jax.random.normal(k[2], (q, d, p)), axis=-1)
+        return scores, loc, aw
+
+    def test_forward_matches_gather_oracle(self):
+        from transplat_tpu.ops.deform import (
+            deform_sample_scores,
+            deform_sample_scores_gather,
+        )
+
+        scores, loc, aw = self._case()
+        ref = deform_sample_scores_gather(scores, (64, 64), loc, aw)
+        pal = deform_sample_scores(scores, (64, 64), loc, aw, impl="pallas")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_xla_vjp(self):
+        from transplat_tpu.ops.deform import deform_sample_scores
+
+        scores, loc, aw = self._case(q=128)
+
+        def loss(s, l, a, impl):
+            out = deform_sample_scores(s, (64, 64), l, a, impl=impl)
+            return jnp.sum(jnp.sin(out))
+
+        gx = jax.grad(loss, argnums=(0, 1, 2))(scores, loc, aw, "xla")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(scores, loc, aw, "pallas")
+        for a, b in zip(gx, gp):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-6
+            )
+
+    def test_vmapped_pair_axis(self):
+        from transplat_tpu.ops.deform import deform_sample_scores
+
+        scores, loc, aw = self._case(q=128)
+        s2 = jnp.stack([scores, 0.5 * scores])
+        l2 = jnp.stack([loc, 1.0 - loc])
+        a2 = jnp.stack([aw, aw])
+        pal = jax.vmap(
+            lambda s, l, a: deform_sample_scores(s, (64, 64), l, a, impl="pallas")
+        )(s2, l2, a2)
+        xla = jax.vmap(
+            lambda s, l, a: deform_sample_scores(s, (64, 64), l, a, impl="xla")
+        )(s2, l2, a2)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=2e-5)
+
+    def test_coarse_p1_shape(self):
+        from transplat_tpu.ops.deform import deform_sample_scores
+
+        scores, loc, aw = self._case(q=64, d=128, p=1)
+        pal = deform_sample_scores(scores, (64, 64), loc, aw, impl="pallas")
+        xla = deform_sample_scores(scores, (64, 64), loc, aw, impl="xla")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=2e-5)
+
+    def test_unsupported_shapes_fall_back(self):
+        from transplat_tpu.ops.deform import deform_sample_scores
+        from transplat_tpu.ops.deform_pallas import supported
+
+        # D*P not lane-aligned -> auto must fall back to the XLA path.
+        assert not supported(64, 16, 4, 16, 16)
+        scores, loc, aw = self._case(q=64, d=16, p=4, h=16, w=16)
+        out = deform_sample_scores(scores, (16, 16), loc, aw, impl="auto")
+        xla = deform_sample_scores(scores, (16, 16), loc, aw, impl="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xla), atol=1e-6)
+        with pytest.raises(ValueError, match="pallas deform"):
+            deform_sample_scores(scores, (16, 16), loc, aw, impl="pallas")

@@ -18,6 +18,7 @@ from .loss.losses import LossCfg
 from .model.adapter import GaussianAdapterCfg
 from .model.decoder import DecoderCfg
 from .model.encoder import EncoderCfg, OpacityMappingCfg
+from .ops.rasterizer.api import RasterizeConfig
 
 
 @dataclass
@@ -117,6 +118,18 @@ def re10k_config() -> RootCfg:
             # s2d gives it full MXU lanes).
             s2d_unet=True,
         ),
+        # capacity=4096: worklist drops starve TRAINING GRADIENTS (every
+        # dropped pair contributes zero gradient; the reference CUDA
+        # rasterizer drops nothing). Measured on the golden 500-step overfit:
+        # 22.8 dB at 1024 (~1.2M drops/step, and sitting on a bifurcation —
+        # same-seed runs land at 15.5 or 22.8 depending on compilation
+        # roundings) vs 36.7 dB at 4096 (zero drops, stable), for +4.5 ms
+        # on the 138 ms train step (the composite sweep is count-bounded,
+        # so capacity costs memory, not compute). artifacts/testsuite_r5/
+        # run_cap*.json. The >=94.8 dB RENDERING-fidelity sweep had masked
+        # this: forward drops hide behind saturated transmittance, gradient
+        # drops do not.
+        decoder=DecoderCfg(rasterize=RasterizeConfig(capacity=4096)),
         loss=LossCfg(mse_weight=1.0, lpips_weight=0.05, lpips_apply_after_step=0),
     )
 

@@ -137,6 +137,7 @@ def deform_sample_scores(
     loc01: jnp.ndarray,
     attn_weights: jnp.ndarray,
     q_chunk: int = 256,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Per-query bilinear sampling of score maps, gather-free.
 
@@ -157,7 +158,34 @@ def deform_sample_scores(
     The backward is a hand-written custom VJP in the same separable style
     (two more batched matmuls + indicator reductions): XLA autodiff of this
     formulation emits a ~35x-slower backward on TPU.
+
+    impl: "auto" (Pallas kernel on TPU when the shapes support it — the
+    XLA chunked form materializes ~GBs of indicator tensors in HBM per call,
+    see ops/deform_pallas.py), "pallas" (forced; interpret mode off-TPU),
+    or "xla" (the chunked lax.map form). TRANSPLAT_DEFORM_IMPL overrides
+    "auto" from the environment (A/B experiments).
     """
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("TRANSPLAT_DEFORM_IMPL", "auto")
+    if impl != "xla":
+        from .deform_pallas import deform_sample_scores_pallas, supported
+
+        h, w = spatial_shape
+        d, p = loc01.shape[1:3]
+        on_tpu = jax.default_backend() == "tpu"
+        if supported(scores.shape[0], d, p, h, w) and (
+            impl == "pallas" or on_tpu
+        ):
+            return deform_sample_scores_pallas(
+                (h, w), not on_tpu, scores, loc01, attn_weights
+            )
+        if impl == "pallas":
+            raise ValueError(
+                f"pallas deform kernel does not support shapes q={scores.shape[0]} "
+                f"d={d} p={p} h={h} w={w}"
+            )
     return _scores_core(spatial_shape, q_chunk, scores, loc01, attn_weights)
 
 
