@@ -185,7 +185,12 @@ def _train_step_metric(timeout_s: int = 1500) -> dict:
     as extra fields on the benchmark line, so encoder/decoder regressions
     surface in BENCH_r*.json next to the rasterizer number. Runs in a bounded
     subprocess: a cold-cache compile or failure must not cost the headline
-    metric. Skip with TRANSPLAT_BENCH_TRAIN=0."""
+    metric. Skip with TRANSPLAT_BENCH_TRAIN=0.
+
+    --inner 4 chains 4 full steps on-device inside one jit (state carry
+    serializes them), so per-dispatch tunnel latency and its run-to-run
+    jitter amortize away — the round-4 per-dispatch method overstated the
+    step by ~20 ms of host overhead (ROUND5_NOTES)."""
     if os.environ.get("TRANSPLAT_BENCH_TRAIN", "1") == "0":
         return {}
     import subprocess
@@ -196,7 +201,7 @@ def _train_step_metric(timeout_s: int = 1500) -> dict:
     )
     try:
         out = subprocess.run(
-            [sys.executable, script],
+            [sys.executable, script, "--inner", "4", "--iters", "4"],
             capture_output=True,
             text=True,
             timeout=timeout_s,

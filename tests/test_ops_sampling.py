@@ -229,3 +229,72 @@ class TestPallasScores:
         np.testing.assert_allclose(np.asarray(out), np.asarray(xla), atol=1e-6)
         with pytest.raises(ValueError, match="pallas deform"):
             deform_sample_scores(scores, (16, 16), loc, aw, impl="pallas")
+
+
+class TestPallasVectors:
+    """Pallas deform-vectors kernel (UV self-attention sampling) vs the XLA
+    one-hot matmul form — forward, all three gradients, vmap, OOB corners."""
+
+    def _case(self, q=256, p=4, h=64, w=64, c=128, seed=0):
+        k = jax.random.split(jax.random.PRNGKey(seed), 3)
+        value = jax.random.normal(k[0], (h * w, c))
+        # Deliberately includes out-of-range samples (zero-padding semantics).
+        loc = jax.random.uniform(k[1], (q, p, 2), minval=-0.05, maxval=1.05)
+        aw = jax.nn.softmax(jax.random.normal(k[2], (q, p)), axis=-1)
+        return value, loc, aw
+
+    def test_forward_matches_xla(self):
+        from transplat_tpu.ops.deform import deform_sample_vectors
+
+        value, loc, aw = self._case()
+        xla = deform_sample_vectors(value, (64, 64), loc, aw, impl="xla")
+        pal = deform_sample_vectors(value, (64, 64), loc, aw, impl="pallas")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=2e-5)
+
+    def test_gradients_match_xla_vjp(self):
+        from transplat_tpu.ops.deform import deform_sample_vectors
+
+        value, loc, aw = self._case(q=128)
+
+        def loss(v, l, a, impl):
+            out = deform_sample_vectors(v, (64, 64), l, a, impl=impl)
+            return jnp.sum(jnp.sin(out))
+
+        gx = jax.grad(loss, argnums=(0, 1, 2))(value, loc, aw, "xla")
+        gp = jax.grad(loss, argnums=(0, 1, 2))(value, loc, aw, "pallas")
+        for a, b in zip(gx, gp):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-6
+            )
+
+    def test_vmapped_pair_axis(self):
+        from transplat_tpu.ops.deform import deform_sample_vectors
+
+        value, loc, aw = self._case(q=128)
+        v2 = jnp.stack([value, 0.5 * value])
+        l2 = jnp.stack([loc, 1.0 - loc])
+        a2 = jnp.stack([aw, aw])
+        pal = jax.vmap(
+            lambda v, l, a: deform_sample_vectors(v, (64, 64), l, a, impl="pallas")
+        )(v2, l2, a2)
+        xla = jax.vmap(
+            lambda v, l, a: deform_sample_vectors(v, (64, 64), l, a, impl="xla")
+        )(v2, l2, a2)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=2e-5)
+
+    def test_unsupported_shapes_fall_back(self):
+        from transplat_tpu.ops.deform import deform_sample_vectors
+        from transplat_tpu.ops.deform_pallas import vectors_supported
+
+        # C not lane-aligned -> auto must fall back to the XLA path.
+        assert not vectors_supported(64, 4, 16, 16, 48)
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        value = jax.random.normal(k[0], (16 * 16, 48))
+        loc = jax.random.uniform(k[1], (64, 4, 2))
+        aw = jax.nn.softmax(jax.random.normal(k[2], (64, 4)), axis=-1)
+        out = deform_sample_vectors(value, (16, 16), loc, aw, impl="auto")
+        xla = deform_sample_vectors(value, (16, 16), loc, aw, impl="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xla), atol=1e-6)
+        with pytest.raises(ValueError, match="pallas deform vectors"):
+            deform_sample_vectors(value, (16, 16), loc, aw, impl="pallas")

@@ -59,6 +59,7 @@ def deform_sample_vectors(
     spatial_shape: tuple[int, int],
     loc01: jnp.ndarray,
     attn_weights: jnp.ndarray,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Weighted bilinear sampling of value vectors, as ONE MXU matmul.
 
@@ -73,7 +74,35 @@ def deform_sample_vectors(
     gather: a (Q=4096, P=4) row gather runs at TPU scalar-gather rates in
     the forward and its VJP is a scatter-add — both orders of magnitude
     slower than the (Q, HW) x (HW, C) matmul, whose VJP is two matmuls.
+
+    impl: "auto" (this XLA form — measured FASTER in the real train step),
+    "pallas" (the VMEM-resident kernel in ops/deform_pallas.py; interpret
+    mode off-TPU), or "xla". Unlike the scores op, auto does NOT pick the
+    Pallas kernel on TPU: chained on-chip A/B at the flagship step measured
+    xla 133.6 vs pallas 134.5 ms/step (and 2.42 vs 2.28 ms standalone) —
+    XLA already fuses the 16-term one-hot assembly into single passes here,
+    and the standalone win doesn't survive composition. The kernel is kept
+    (tested, vmap-safe) for shapes where A (Q, HW) blows past fusion-friendly
+    sizes. TRANSPLAT_DEFORM_VECTORS_IMPL overrides "auto" (A/B experiments).
     """
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("TRANSPLAT_DEFORM_VECTORS_IMPL", "auto")
+    if impl == "pallas":
+        from .deform_pallas import deform_sample_vectors_pallas, vectors_supported
+
+        vh, vw = spatial_shape
+        vq, vp = attn_weights.shape
+        if vectors_supported(vq, vp, vh, vw, value.shape[-1]):
+            return deform_sample_vectors_pallas(
+                (vh, vw), jax.default_backend() != "tpu", value, loc01,
+                attn_weights,
+            )
+        raise ValueError(
+            f"pallas deform vectors kernel does not support shapes "
+            f"q={vq} p={vp} h={vh} w={vw} c={value.shape[-1]}"
+        )
     h, w = spatial_shape
     hw = h * w
     q, p = attn_weights.shape

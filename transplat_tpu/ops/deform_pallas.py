@@ -329,3 +329,186 @@ def _pallas_bwd(spatial_shape, interpret, res, gbar):
 
 
 deform_sample_scores_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Vector sampling (UV self-attention): out[q] = sum_p aw[q,p] * bilerp(V, loc)
+# ---------------------------------------------------------------------------
+#
+# The XLA form (ops/deform.py deform_sample_vectors) materializes the (Q, HW)
+# combined-weight matrix A in HBM and autodiff replays its 4P-term one-hot
+# assembly as ~16 full-tensor HBM passes in the backward (~67 MB each at
+# Q=HW=4096). Here A lives only as a (qb, HW) VMEM block: HBM traffic drops
+# to the value map + the (Q, 4P) corner tables. Matmuls run at
+# precision=HIGHEST to match the XLA path's load-bearing explicit precision
+# (see the measured 4.5 dB note at ops/deform.py:87-93).
+
+
+def _vectors_fwd_kernel(idx_ref, cw_ref, value_ref, out_ref, *, hw, qb, k):
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, hw), 1)
+    idx = idx_ref[...]
+    cw = cw_ref[...]
+    a = jnp.zeros((qb, hw), jnp.float32)
+    for j in range(k):
+        a = a + jnp.where(col == idx[:, j : j + 1], cw[:, j : j + 1], 0.0)
+    out_ref[...] = jax.lax.dot_general(
+        a, value_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _vectors_bwd_kernel(
+    idx_ref, cw_ref, value_ref, dout_ref, dvalue_ref, s_ref, *, hw, qb, k
+):
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, hw), 1)
+    idx = idx_ref[...]
+    cw = cw_ref[...]
+    dout = dout_ref[...]  # (qb, C)
+    # dA = dout @ V^T (NT form), exactly the VJP of the HIGHEST fwd matmul.
+    g = jax.lax.dot_general(
+        dout, value_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (qb, HW)
+    a = jnp.zeros((qb, hw), jnp.float32)
+    ss = []
+    for j in range(k):
+        m = col == idx[:, j : j + 1]
+        # d_cw[:, j] = <dA, onehot_j> — a masked lane reduction of g.
+        ss.append(jnp.sum(jnp.where(m, g, 0.0), axis=1, keepdims=True))
+        a = a + jnp.where(m, cw[:, j : j + 1], 0.0)
+    s_ref[...] = jnp.concatenate(ss, axis=1)
+    # dV += A^T @ dout (TN form); the block is revisited every grid step
+    # (constant index map), so accumulate across the sequential TPU grid.
+    dv = jax.lax.dot_general(
+        a, dout, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dvalue_ref[...] = dv
+
+    @pl.when(pl.program_id(0) > 0)
+    def _acc():
+        dvalue_ref[...] += dv
+
+
+def vectors_supported(q: int, p: int, h: int, w: int, c: int) -> bool:
+    """Shapes the vector kernels handle: 8-aligned query blocks, lane-aligned
+    channel/spatial extents, and a value map that fits VMEM comfortably."""
+    hw = h * w
+    return (
+        _pick_qb(q) >= 8
+        and c % 128 == 0
+        and hw % 128 == 0
+        and 4 * p <= 128
+        and hw <= 8192
+        and hw * c * 4 <= 8 * 1024 * 1024
+    )
+
+
+def _vectors_prep(loc01, attn_weights, h, w):
+    """Corner tables in (Q, 4P) layout, k = corner * P + p."""
+    from .deform import _bilinear_weights
+
+    q, p = attn_weights.shape
+    idx, wgt = _bilinear_weights(loc01, h, w)  # (4, Q, P)
+    cw = wgt * attn_weights[None]
+    idx_qk = jnp.swapaxes(idx, 0, 1).reshape(q, 4 * p).astype(jnp.int32)
+    cw_qk = jnp.swapaxes(cw, 0, 1).reshape(q, 4 * p).astype(jnp.float32)
+    return idx_qk, cw_qk
+
+
+def _vectors_fwd_call(idx_qk, cw_qk, value, hw, c, interpret):
+    nq, k = idx_qk.shape
+    qb = _pick_qb(nq)
+    kernel = functools.partial(_vectors_fwd_kernel, hw=hw, qb=qb, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(nq // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, c), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(idx_qk, cw_qk, value)
+
+
+def _vectors_bwd_call(idx_qk, cw_qk, value, dout, hw, c, interpret):
+    nq, k = idx_qk.shape
+    qb = _pick_qb(nq)
+    kernel = functools.partial(_vectors_bwd_kernel, hw=hw, qb=qb, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(nq // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((hw, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hw, c), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(idx_qk, cw_qk, value, dout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def deform_sample_vectors_pallas(spatial_shape, interpret, value, loc01,
+                                 attn_weights):
+    """Drop-in Pallas version of ops.deform.deform_sample_vectors.
+
+    value: (H*W, C); loc01: (Q, P, 2); attn_weights: (Q, P) -> (Q, C).
+    Call sites should gate on `vectors_supported(...)`.
+    """
+    out, _ = _vec_fwd(spatial_shape, interpret, value, loc01, attn_weights)
+    return out
+
+
+def _vec_fwd(spatial_shape, interpret, value, loc01, attn_weights):
+    h, w = spatial_shape
+    hw, c = value.shape
+    idx_qk, cw_qk = _vectors_prep(loc01, attn_weights, h, w)
+    out = _vectors_fwd_call(
+        idx_qk, cw_qk, value.astype(jnp.float32), hw, c, interpret
+    )
+    return out.astype(value.dtype), (value, loc01, attn_weights)
+
+
+def _vec_bwd(spatial_shape, interpret, res, gbar):
+    value, loc01, attn_weights = res
+    h, w = spatial_shape
+    hw, c = value.shape
+
+    def cw_fn(loc, aw):
+        # Differentiable rebuild of the combined corner weights; floor() has
+        # zero gradient, so d(frac)/d(px) = 1 — exactly the XLA autodiff
+        # chain, including the OOB zeroing in _bilinear_weights.
+        _, cw_qk = _vectors_prep(loc, aw, h, w)
+        return cw_qk
+
+    idx_qk, cw_qk = _vectors_prep(loc01, attn_weights, h, w)
+    dvalue, s = _vectors_bwd_call(
+        idx_qk, cw_qk, value.astype(jnp.float32), gbar.astype(jnp.float32),
+        hw, c, interpret,
+    )
+    _, chain = jax.vjp(cw_fn, loc01, attn_weights)
+    d_loc, d_attn = chain(s)
+    return dvalue.astype(value.dtype), d_loc, d_attn
+
+
+deform_sample_vectors_pallas.defvjp(_vec_fwd, _vec_bwd)
