@@ -74,19 +74,59 @@ N_EXACT = 6
 ABLATE = "full"
 
 
-def _covers(mx, my, r, x0, y0, cw, ch):
+def _covers(mx, my, rx, ry, x0, y0, cw, ch):
     """Cell-coverage predicate; MUST match between XLA (chunk_bases) and the
-    kernels — both evaluate it in f32 elementwise, so results are identical.
+    kernels — both evaluate it in f32 elementwise on the same cull_radii
+    values, so results are identical.
 
     Covers iff the cell's pixel range [x0, x0+cw) x [y0, y0+ch) intersects
-    [m - r, m + r] in both axes (exact cover of the circular alpha cutoff)."""
+    [mx - rx, mx + rx] x [my - ry, my + ry]: the per-axis significance
+    radii from cull_radii (exact cover of every pixel the composite keeps)."""
     return (
-        (mx + r >= x0)
-        & (mx - r < x0 + jnp.float32(cw))
-        & (my + r >= y0)
-        & (my - r < y0 + jnp.float32(ch))
-        & (r > 0.0)
+        (mx + rx >= x0)
+        & (mx - rx < x0 + jnp.float32(cw))
+        & (my + ry >= y0)
+        & (my - ry < y0 + jnp.float32(ch))
+        & (rx > 0.0)
     )
+
+
+def cull_radii(feat):
+    """Per-entry per-axis significance radii for the exact binning cull.
+
+    A (cell, gaussian) pair whose peak alpha over the cell is < 1/255
+    contributes exactly zero to the composite — gaussian_alpha zeroes every
+    alpha below 1/255 (and the pixels outside the circular radius cutoff),
+    and zeroed alphas carry zero gradient — so binning may drop the pair
+    with bit-identical rendering and gradients. Per-axis exact bound: the
+    min over dy of the conic quadratic q(d) at fixed dx is
+    dx^2 * det(conic) / c = dx^2 / Sigma_xx (the marginal variance), so
+    alpha = op * exp(-q/2) >= 1/255 requires
+    |dx| <= rx = sqrt(2 ln(255 op) Sigma_xx) and symmetrically |dy| <= ry.
+    Intersected with the projection radius r (the composite's circular
+    cutoff). This is where anisotropic splats win: r is 3 sqrt(lambda_max),
+    so an elongated Gaussian's minor axis sheds most of its bounding-circle
+    cells (the reference's CUDA rasterizer bins the full bounding rect,
+    cuda_splatting.py getRect — it can afford to, with dynamic tile lists).
+
+    The +1e-3 tau margin keeps boundary pairs through the <= 2^-18 relative
+    drift the 2-way bf16 routing split puts between the cull-side values
+    and the worklist values the composite finally sees.
+
+    feat: (N, F, G) feature-major stream (rows 2..6 = conic a/b/c, radius,
+    opacity). Returns (rx, ry), each (N, G) f32, 0 for fully-culled entries
+    (opacity < 1/255 or radius 0).
+    """
+    a, b, c = feat[:, 2], feat[:, 3], feat[:, 4]
+    r, op = feat[:, 5], feat[:, 6]
+    det = jnp.maximum(a * c - b * b, 1e-20)
+    tau = 2.0 * jnp.log(jnp.maximum(op, 1e-20) * 255.0) + 1e-3
+    tau = jnp.maximum(tau, 0.0)
+    rx = jnp.minimum(jnp.sqrt(jnp.maximum(tau * c, 0.0) / det), r)
+    ry = jnp.minimum(jnp.sqrt(jnp.maximum(tau * a, 0.0) / det), r)
+    keep = (r > 0.0) & (op * 255.0 >= 1.0 - 1e-3)
+    zero = jnp.zeros_like(r)
+    return jnp.where(keep, rx, zero), jnp.where(keep, ry, zero)
 
 
 # --------------------------------------------------------------------------
@@ -107,14 +147,16 @@ def chunk_bases(feat, tx0, ty0, extent, cg):
     nc = g // cg
     mx = feat[:, 0, :].reshape(n, nc, cg)[..., None]
     my = feat[:, 1, :].reshape(n, nc, cg)[..., None]
-    r = feat[:, 5, :].reshape(n, nc, cg)[..., None]
+    rxa, rya = cull_radii(feat)
+    rx = rxa.reshape(n, nc, cg)[..., None]
+    ry = rya.reshape(n, nc, cg)[..., None]
     if tx0.ndim == 1:
         x0 = tx0[None, None, None, :]
         y0 = ty0[None, None, None, :]
     else:
         x0 = tx0[:, None, None, :]
         y0 = ty0[:, None, None, :]
-    cov = _covers(mx, my, r, x0, y0, cw, ch)  # (N, NC, CG, T)
+    cov = _covers(mx, my, rx, ry, x0, y0, cw, ch)  # (N, NC, CG, T)
     counts = jnp.sum(cov, axis=2, dtype=jnp.int32)  # (N, NC, T)
     incl = jnp.cumsum(counts, axis=1)
     bases = jnp.concatenate([jnp.zeros_like(incl[:, :1]), incl], axis=1)
@@ -255,12 +297,13 @@ def _bin_fwd_kernel(
     # compaction offsets and lane->sublane coverage transpose for the whole
     # window (the per-chunk te matmul streamed M = 2CG rows per chunk — ~1 us
     # each; batched, the same M is amortized over cpw chunks). Requires the
-    # stream's mx/my/r rows pre-chunked to (cpw, CG) sublane layout, which
-    # XLA prepares (pfeat) — a free relayout at trace level.
-    pf = pfeat_ref[0]  # (3*cpw, CG)
+    # stream's mx/my/rx/ry rows pre-chunked to (cpw, CG) sublane layout,
+    # which XLA prepares (pfeat, incl. the cull_radii pass) — a free
+    # relayout at trace level.
+    pf = pfeat_ref[0]  # (4*cpw, CG)
     cover3 = _covers(
         pf[0:cpw][:, None, :], pf[cpw : 2 * cpw][:, None, :],
-        pf[2 * cpw : 3 * cpw][:, None, :],
+        pf[2 * cpw : 3 * cpw][:, None, :], pf[3 * cpw : 4 * cpw][:, None, :],
         txs[None, :, :], tys[None, :, :], cw, ch,
     ).astype(jnp.float32)  # (cpw, group, CG)
     pe_all = jax.lax.dot_general(
@@ -432,10 +475,10 @@ def _bin_bwd_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (cg, nbw), 1)
 
     # Batched window plan (see _bin_fwd_kernel).
-    pf = pfeat_ref[0]  # (3*cpw, CG)
+    pf = pfeat_ref[0]  # (4*cpw, CG)
     cover3 = _covers(
         pf[0:cpw][:, None, :], pf[cpw : 2 * cpw][:, None, :],
-        pf[2 * cpw : 3 * cpw][:, None, :],
+        pf[2 * cpw : 3 * cpw][:, None, :], pf[3 * cpw : 4 * cpw][:, None, :],
         txs[None, :, :], tys[None, :, :], cw, ch,
     ).astype(jnp.float32)
     pe_all = jax.lax.dot_general(
@@ -518,16 +561,20 @@ def _static(kw):
 
 
 def _plan_feat(stream, nw, cpw, cg):
-    """Chunk the mx/my/r stream rows to (N*NW, 3*cpw, CG) sublane layout for
-    the kernels' batched window planning (an XLA relayout, ~free)."""
+    """Chunk the mx/my + cull_radii rows to (N*NW, 4*cpw, CG) sublane layout
+    for the kernels' batched window planning (an XLA relayout + the O(G)
+    cull_radii elementwise pass, ~free). Precomputing rx/ry here keeps the
+    in-kernel coverage test bit-identical to the chunk_bases pass without
+    any in-kernel transcendentals."""
     n = stream.shape[0]
+    rx, ry = cull_radii(stream)
     sel = jnp.stack(
-        [stream[:, 0], stream[:, 1], stream[:, 5]], axis=1
-    )  # (N, 3, W_total)
+        [stream[:, 0], stream[:, 1], rx, ry], axis=1
+    )  # (N, 4, W_total)
     return (
-        sel.reshape(n, 3, nw, cpw, cg)
+        sel.reshape(n, 4, nw, cpw, cg)
         .transpose(0, 2, 1, 3, 4)
-        .reshape(n * nw, 3 * cpw, cg)
+        .reshape(n * nw, 4 * cpw, cg)
     )
 
 
@@ -549,7 +596,7 @@ def _fwd_call(stream, bases, trips, interpret, **kw):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 3 * cpw, cg),
+                (1, 4 * cpw, cg),
                 lambda i, w, *_: (i // ng * nw + w, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -591,7 +638,7 @@ def _bwd_call(stream, bases, trips, dgdat, interpret, **kw):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 3 * cpw, cg),
+                (1, 4 * cpw, cg),
                 lambda i, w, *_: (i // ng * nw + w, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
